@@ -1,0 +1,252 @@
+"""Default configuration tree for paa_tpu.
+
+Mirrors the config surface of the reference framework
+(reference paa_core/config/defaults.py:21-583) so that the reference's
+YAML configs (configs/paa/*.yaml etc.) merge cleanly, while adding a
+small ``TPU`` section for TPU-native knobs the reference has no analogue
+for (static-shape size buckets, mesh axes, dtypes).
+"""
+
+import os
+
+from .cfg_node import CN
+
+_C = CN()
+
+# ---------------------------------------------------------------------------
+# MODEL
+# ---------------------------------------------------------------------------
+_C.MODEL = CN()
+_C.MODEL.RPN_ONLY = False
+_C.MODEL.PAA_ON = False
+_C.MODEL.ATSS_ON = False
+_C.MODEL.FCOS_ON = False
+_C.MODEL.RETINANET_ON = False
+_C.MODEL.MASK_ON = False
+_C.MODEL.KEYPOINT_ON = False
+_C.MODEL.DEVICE = "tpu"
+_C.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+_C.MODEL.CLS_AGNOSTIC_BBOX_REG = False
+_C.MODEL.WEIGHT = ""
+_C.MODEL.USE_SYNCBN = False
+
+# ---------------------------------------------------------------------------
+# INPUT
+# ---------------------------------------------------------------------------
+_C.INPUT = CN()
+_C.INPUT.MIN_SIZE_TRAIN = (800,)
+_C.INPUT.MIN_SIZE_RANGE_TRAIN = (-1, -1)
+_C.INPUT.MAX_SIZE_TRAIN = 1333
+_C.INPUT.MIN_SIZE_TEST = 800
+_C.INPUT.MAX_SIZE_TEST = 1333
+# BGR means in the Caffe2 convention: image loaded as BGR in [0, 255]
+_C.INPUT.PIXEL_MEAN = [102.9801, 115.9465, 122.7717]
+_C.INPUT.PIXEL_STD = [1.0, 1.0, 1.0]
+_C.INPUT.TO_BGR255 = True
+
+# ---------------------------------------------------------------------------
+# DATASETS / DATALOADER
+# ---------------------------------------------------------------------------
+_C.DATASETS = CN()
+_C.DATASETS.TRAIN = ()
+_C.DATASETS.TEST = ()
+
+_C.DATALOADER = CN()
+_C.DATALOADER.NUM_WORKERS = 4
+_C.DATALOADER.SIZE_DIVISIBILITY = 0
+_C.DATALOADER.ASPECT_RATIO_GROUPING = True
+
+# ---------------------------------------------------------------------------
+# Backbone
+# ---------------------------------------------------------------------------
+_C.MODEL.BACKBONE = CN()
+_C.MODEL.BACKBONE.CONV_BODY = "R-50-C4"
+_C.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 2
+_C.MODEL.BACKBONE.USE_GN = False
+
+_C.MODEL.FPN = CN()
+_C.MODEL.FPN.USE_GN = False
+_C.MODEL.FPN.USE_RELU = False
+
+_C.MODEL.GROUP_NORM = CN()
+_C.MODEL.GROUP_NORM.DIM_PER_GP = -1
+_C.MODEL.GROUP_NORM.NUM_GROUPS = 32
+_C.MODEL.GROUP_NORM.EPSILON = 1e-5
+
+_C.MODEL.RESNETS = CN()
+_C.MODEL.RESNETS.NUM_GROUPS = 1
+_C.MODEL.RESNETS.WIDTH_PER_GROUP = 64
+_C.MODEL.RESNETS.STRIDE_IN_1X1 = True
+_C.MODEL.RESNETS.TRANS_FUNC = "BottleneckWithFixedBatchNorm"
+_C.MODEL.RESNETS.STEM_FUNC = "StemWithFixedBatchNorm"
+_C.MODEL.RESNETS.RES5_DILATION = 1
+_C.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256 * 4
+_C.MODEL.RESNETS.RES2_OUT_CHANNELS = 256
+_C.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
+_C.MODEL.RESNETS.STAGE_WITH_DCN = (False, False, False, False)
+_C.MODEL.RESNETS.WITH_MODULATED_DCN = False
+_C.MODEL.RESNETS.DEFORMABLE_GROUPS = 1
+
+# ---------------------------------------------------------------------------
+# PAA head (reference paa_core/config/defaults.py:292-331)
+# ---------------------------------------------------------------------------
+_C.MODEL.PAA = CN()
+_C.MODEL.PAA.NUM_CLASSES = 81  # number of classes INCLUDING background
+_C.MODEL.PAA.ANCHOR_SIZES = (64, 128, 256, 512, 1024)
+_C.MODEL.PAA.ASPECT_RATIOS = (1.0,)
+_C.MODEL.PAA.ANCHOR_STRIDES = (8, 16, 32, 64, 128)
+_C.MODEL.PAA.STRADDLE_THRESH = 0
+_C.MODEL.PAA.OCTAVE = 2.0
+_C.MODEL.PAA.SCALES_PER_OCTAVE = 1
+_C.MODEL.PAA.NUM_CONVS = 4
+_C.MODEL.PAA.USE_DCN_IN_TOWER = False
+_C.MODEL.PAA.LOSS_ALPHA = 0.25
+_C.MODEL.PAA.LOSS_GAMMA = 2.0
+_C.MODEL.PAA.IOU_THRESHOLD = 0.1
+_C.MODEL.PAA.TOPK = 9
+_C.MODEL.PAA.REG_LOSS_WEIGHT = 1.3
+_C.MODEL.PAA.PRIOR_PROB = 0.01
+_C.MODEL.PAA.INFERENCE_TH = 0.05
+_C.MODEL.PAA.NMS_TH = 0.6
+_C.MODEL.PAA.PRE_NMS_TOP_N = 1000
+_C.MODEL.PAA.USE_IOU_PRED = True
+_C.MODEL.PAA.IOU_LOSS_WEIGHT = 0.5
+_C.MODEL.PAA.INFERENCE_SCORE_VOTING = False
+_C.MODEL.PAA.REG_LOSS_TYPE = "iou"
+# PAA also reads ATSS.REGRESSION_TYPE through the shared BoxCoder
+# (reference paa_core/modeling/rpn/atss/atss.py:14-97).
+
+# ---------------------------------------------------------------------------
+# ATSS head
+# ---------------------------------------------------------------------------
+_C.MODEL.ATSS = CN()
+_C.MODEL.ATSS.NUM_CLASSES = 81
+_C.MODEL.ATSS.ANCHOR_SIZES = (64, 128, 256, 512, 1024)
+_C.MODEL.ATSS.ASPECT_RATIOS = (1.0,)
+_C.MODEL.ATSS.ANCHOR_STRIDES = (8, 16, 32, 64, 128)
+_C.MODEL.ATSS.STRADDLE_THRESH = 0
+_C.MODEL.ATSS.OCTAVE = 2.0
+_C.MODEL.ATSS.SCALES_PER_OCTAVE = 1
+_C.MODEL.ATSS.NUM_CONVS = 4
+_C.MODEL.ATSS.USE_DCN_IN_TOWER = False
+_C.MODEL.ATSS.LOSS_ALPHA = 0.25
+_C.MODEL.ATSS.LOSS_GAMMA = 2.0
+_C.MODEL.ATSS.POSITIVE_TYPE = "ATSS"
+_C.MODEL.ATSS.FG_IOU_THRESHOLD = 0.5
+_C.MODEL.ATSS.BG_IOU_THRESHOLD = 0.4
+_C.MODEL.ATSS.TOPK = 9
+_C.MODEL.ATSS.REGRESSION_TYPE = "BOX"
+_C.MODEL.ATSS.REG_LOSS_WEIGHT = 2.0
+_C.MODEL.ATSS.PRIOR_PROB = 0.01
+_C.MODEL.ATSS.INFERENCE_TH = 0.05
+_C.MODEL.ATSS.NMS_TH = 0.6
+_C.MODEL.ATSS.PRE_NMS_TOP_N = 1000
+
+# ---------------------------------------------------------------------------
+# FCOS head
+# ---------------------------------------------------------------------------
+_C.MODEL.FCOS = CN()
+_C.MODEL.FCOS.NUM_CLASSES = 81
+_C.MODEL.FCOS.FPN_STRIDES = [8, 16, 32, 64, 128]
+_C.MODEL.FCOS.PRIOR_PROB = 0.01
+_C.MODEL.FCOS.INFERENCE_TH = 0.05
+_C.MODEL.FCOS.NMS_TH = 0.6
+_C.MODEL.FCOS.PRE_NMS_TOP_N = 1000
+_C.MODEL.FCOS.LOSS_ALPHA = 0.25
+_C.MODEL.FCOS.LOSS_GAMMA = 2.0
+_C.MODEL.FCOS.NUM_CONVS = 4
+_C.MODEL.FCOS.CENTER_SAMPLING_RADIUS = 0.0
+_C.MODEL.FCOS.IOU_LOSS_TYPE = "iou"
+_C.MODEL.FCOS.NORM_REG_TARGETS = False
+_C.MODEL.FCOS.CENTERNESS_ON_REG = False
+_C.MODEL.FCOS.USE_DCN_IN_TOWER = False
+
+# ---------------------------------------------------------------------------
+# RetinaNet head
+# ---------------------------------------------------------------------------
+_C.MODEL.RETINANET = CN()
+_C.MODEL.RETINANET.NUM_CLASSES = 81
+_C.MODEL.RETINANET.ANCHOR_SIZES = (32, 64, 128, 256, 512)
+_C.MODEL.RETINANET.ASPECT_RATIOS = (0.5, 1.0, 2.0)
+_C.MODEL.RETINANET.ANCHOR_STRIDES = (8, 16, 32, 64, 128)
+_C.MODEL.RETINANET.STRADDLE_THRESH = 0
+_C.MODEL.RETINANET.OCTAVE = 2.0
+_C.MODEL.RETINANET.SCALES_PER_OCTAVE = 3
+_C.MODEL.RETINANET.USE_C5 = True
+_C.MODEL.RETINANET.NUM_CONVS = 4
+_C.MODEL.RETINANET.BBOX_REG_WEIGHT = 4.0
+_C.MODEL.RETINANET.BBOX_REG_BETA = 0.11
+_C.MODEL.RETINANET.PRE_NMS_TOP_N = 1000
+_C.MODEL.RETINANET.FG_IOU_THRESHOLD = 0.5
+_C.MODEL.RETINANET.BG_IOU_THRESHOLD = 0.4
+_C.MODEL.RETINANET.LOSS_ALPHA = 0.25
+_C.MODEL.RETINANET.LOSS_GAMMA = 2.0
+_C.MODEL.RETINANET.PRIOR_PROB = 0.01
+_C.MODEL.RETINANET.INFERENCE_TH = 0.05
+_C.MODEL.RETINANET.NMS_TH = 0.4
+
+# ---------------------------------------------------------------------------
+# SOLVER
+# ---------------------------------------------------------------------------
+_C.SOLVER = CN()
+_C.SOLVER.MAX_ITER = 40000
+_C.SOLVER.BASE_LR = 0.001
+_C.SOLVER.BIAS_LR_FACTOR = 2
+_C.SOLVER.DCONV_OFFSETS_LR_FACTOR = 1.0
+_C.SOLVER.MOMENTUM = 0.9
+_C.SOLVER.WEIGHT_DECAY = 0.0005
+_C.SOLVER.WEIGHT_DECAY_BIAS = 0.0
+_C.SOLVER.GAMMA = 0.1
+_C.SOLVER.STEPS = (30000,)
+_C.SOLVER.WARMUP_FACTOR = 1.0 / 3
+_C.SOLVER.WARMUP_ITERS = 500
+_C.SOLVER.WARMUP_METHOD = "linear"
+_C.SOLVER.CHECKPOINT_PERIOD = 2500
+_C.SOLVER.IMS_PER_BATCH = 16
+
+# ---------------------------------------------------------------------------
+# TEST
+# ---------------------------------------------------------------------------
+_C.TEST = CN()
+_C.TEST.EXPECTED_RESULTS = []
+_C.TEST.EXPECTED_RESULTS_SIGMA_TOL = 4
+_C.TEST.IMS_PER_BATCH = 8
+_C.TEST.DETECTIONS_PER_IMG = 100
+
+_C.TEST.BBOX_AUG = CN()
+_C.TEST.BBOX_AUG.ENABLED = False
+_C.TEST.BBOX_AUG.H_FLIP = False
+_C.TEST.BBOX_AUG.SCALES = ()
+_C.TEST.BBOX_AUG.MAX_SIZE = 4000
+_C.TEST.BBOX_AUG.SCALE_H_FLIP = False
+_C.TEST.BBOX_AUG.VOTE = False
+_C.TEST.BBOX_AUG.VOTE_TH = 0.66
+_C.TEST.BBOX_AUG.SCALE_RANGES = ()
+_C.TEST.BBOX_AUG.MERGE_TYPE = "vote"
+
+# ---------------------------------------------------------------------------
+# TPU-native knobs (no reference analogue)
+# ---------------------------------------------------------------------------
+_C.TPU = CN()
+# Static padded-shape buckets (H, W) that images are resized+padded into so
+# XLA compiles a fixed number of programs. Replaces the reference's
+# pad-to-batch-max dynamic shapes (paa_core/structures/image_list.py:54-61).
+_C.TPU.TRAIN_BUCKETS = ((800, 1344), (1344, 800), (1088, 1088))
+_C.TPU.TEST_BUCKETS = ((800, 1344), (1344, 800), (1088, 1088))
+# Max ground-truth boxes per image after padding (COCO max is 93).
+_C.TPU.MAX_GT = 100
+# Compute dtype of the conv/matmul path ("bfloat16" or "float32");
+# parameters stay float32.
+_C.TPU.COMPUTE_DTYPE = "float32"
+# Mesh axis sizes: data parallelism only by default (matching the
+# reference's DDP-only story, SURVEY.md 2.3).
+_C.TPU.MESH_DATA = -1  # -1 = all devices
+# EM iterations of the vectorized 2-component GMM fit that replaces
+# sklearn.mixture.GaussianMixture (reference rpn/paa/loss.py:192-203).
+_C.TPU.GMM_ITERS = 64
+
+# ---------------------------------------------------------------------------
+# Misc
+# ---------------------------------------------------------------------------
+_C.OUTPUT_DIR = "."
+_C.PATHS_CATALOG = os.path.join(os.path.dirname(__file__), "paths_catalog.py")

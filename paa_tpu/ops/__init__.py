@@ -1,0 +1,5 @@
+from .focal_loss import sigmoid_focal_loss
+from .gmm import gmm_fit_predict
+from .nms import nms
+
+__all__ = ["sigmoid_focal_loss", "gmm_fit_predict", "nms"]

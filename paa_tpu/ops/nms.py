@@ -1,0 +1,76 @@
+"""On-device, static-shape NMS.
+
+Replaces the reference CUDA kernels ``nms`` (csrc/cuda/nms.cu) and the
+class-aware ``ml_nms`` (csrc/cuda/ml_nms.cu:13-15 forces IoU to 0 across
+labels) with a TPU-friendly formulation: instead of the GPU's
+O(N^2)-bitmask + host-side sequential scan, we run exactly ``max_out``
+pick-the-max / suppress iterations. Each iteration is one argmax plus one
+vectorized IoU row over all N candidates — `max_out` (=100,
+TEST.DETECTIONS_PER_IMG) steps of pure VPU work, no host sync, no dynamic
+shapes. Greedy NMS selects survivors in descending score order, so taking
+the first ``max_out`` survivors is equivalent to full NMS followed by the
+reference's top-k cap (paa/inference.py:110-121).
+
+IoU uses the +1 Detectron convention of the CUDA kernels
+(csrc/cuda/ml_nms.cu:17-23).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def _iou_row(box, boxes):
+    """IoU of one box (4,) against (N, 4) with the +1 convention."""
+    lt = jnp.maximum(box[:2], boxes[:, :2])
+    rb = jnp.minimum(box[2:], boxes[:, 2:])
+    wh = jnp.clip(rb - lt + 1.0, 0.0)
+    inter = wh[:, 0] * wh[:, 1]
+    area1 = (box[2] - box[0] + 1.0) * (box[3] - box[1] + 1.0)
+    area2 = (boxes[:, 2] - boxes[:, 0] + 1.0) * (boxes[:, 3] - boxes[:, 1] + 1.0)
+    return inter / (area1 + area2 - inter)
+
+
+@partial(jax.jit, static_argnames=("max_out", "class_aware"))
+def nms(boxes, scores, labels, valid, iou_threshold, max_out,
+        class_aware=True):
+    """Greedy (multi-label) NMS with static output size.
+
+    Args:
+        boxes: (N, 4) xyxy.
+        scores: (N,) float.
+        labels: (N,) int; suppression only applies within equal labels
+            when ``class_aware`` (ml_nms semantics).
+        valid: (N,) bool — candidates that participate at all.
+        iou_threshold: scalar float.
+        max_out: number of detections to emit.
+
+    Returns:
+        keep_idx: (max_out,) int32 indices into the input arrays.
+        keep_scores: (max_out,) float scores at pick time.
+        keep_valid: (max_out,) bool — False once candidates are exhausted.
+    """
+    scores = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
+
+    def body(state, _):
+        scores_live = state
+        idx = jnp.argmax(scores_live)
+        best_score = scores_live[idx]
+        valid = best_score > _NEG_INF / 2
+        iou = _iou_row(boxes[idx], boxes)
+        suppress = iou > iou_threshold
+        if class_aware:
+            suppress = suppress & (labels == labels[idx])
+        suppress = suppress | (jnp.arange(scores.shape[0]) == idx)
+        new_scores = jnp.where(suppress & valid, _NEG_INF, scores_live)
+        return new_scores, (idx.astype(jnp.int32), best_score, valid)
+
+    _, (keep_idx, keep_scores, keep_valid) = jax.lax.scan(
+        body, scores, None, length=max_out
+    )
+    return keep_idx, keep_scores, keep_valid
