@@ -1,0 +1,123 @@
+"""Shared Flax layers.
+
+TPU-native counterparts of the reference's paa_core/layers: FrozenBatchNorm2d
+(layers/batch_norm.py:6-24 — note: NO epsilon, matching the reference
+exactly), GroupNorm towers, the per-level learnable ``Scale``
+(layers/misc.py Scale), and conv initializers matching the reference's
+kaiming-uniform(a=1) / normal(0.01) conventions.
+
+Layout: NHWC everywhere (TPU-native); torch NCHW weights are transposed at
+import time.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# kaiming_uniform(a=1) as used for backbone/FPN convs
+# (reference resnet.py:319-320, make_layers.py conv_with_kaiming_uniform):
+# bound = sqrt(3 / fan_in)  ==  variance_scaling(1.0, fan_in, uniform).
+kaiming_uniform_a1 = nn.initializers.variance_scaling(
+    1.0, "fan_in", "uniform"
+)
+# head convs: normal(std=0.01) (reference paa.py:81)
+head_normal_init = nn.initializers.normal(stddev=0.01)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics and affine parameters.
+
+    y = x * (weight * rsqrt(running_var)) + (bias - mean * scale)
+    — exactly reference layers/batch_norm.py:19-24 (no epsilon). The four
+    tensors live in params but are excluded from optimization by the
+    solver's trainable mask (matching buffers + requires_grad=False).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param(
+            "running_mean", nn.initializers.zeros, (self.features,)
+        )
+        var = self.param("running_var", nn.initializers.ones, (self.features,))
+        scale = weight * jax.lax.rsqrt(var)
+        shift = bias - mean * scale
+        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
+
+
+def conv(
+    features,
+    kernel_size,
+    strides=1,
+    padding=0,
+    groups=1,
+    use_bias=False,
+    dilation=1,
+    kernel_init=kaiming_uniform_a1,
+    bias_init=nn.initializers.zeros,
+    name=None,
+):
+    """Conv2D with torch-style explicit integer padding (NHWC)."""
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    return nn.Conv(
+        features=features,
+        kernel_size=kernel_size,
+        strides=strides,
+        padding=padding,
+        feature_group_count=groups,
+        use_bias=use_bias,
+        kernel_dilation=dilation,
+        kernel_init=kernel_init,
+        bias_init=bias_init,
+        name=name,
+    )
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with the reference's defaults (32 groups, eps 1e-5;
+    make_layers.py group_norm)."""
+
+    features: int
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.epsilon, name="gn"
+        )(x)
+
+
+class Scale(nn.Module):
+    """Learnable scalar multiplier (reference layers Scale, init 1.0)."""
+
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param(
+            "scale",
+            lambda key: jnp.asarray(self.init_value, dtype=jnp.float32),
+        )
+        return x * scale.astype(x.dtype)
+
+
+def max_pool_3x3_s2(x):
+    """3x3/2 max pool with pad 1, matching torch F.max_pool2d(x, 3, 2, 1)."""
+    return nn.max_pool(
+        x, window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+    )
