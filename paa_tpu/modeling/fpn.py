@@ -48,7 +48,7 @@ class FPN(nn.Module):
         n = len(used)
 
         laterals = [
-            conv(self.out_channels, 1, use_bias=True,
+            conv(self.out_channels, 1, use_bias=True, dtype=self.dtype,
                  name=f"fpn_inner{start + i + 1}")(f)
             for i, f in enumerate(used)
         ]
@@ -62,16 +62,16 @@ class FPN(nn.Module):
 
         results = [
             conv(self.out_channels, 3, padding=1, use_bias=True,
-                 name=f"fpn_layer{start + i + 1}")(m)
+                 dtype=self.dtype, name=f"fpn_layer{start + i + 1}")(m)
             for i, m in enumerate(merged)
         ]
 
         if self.use_p6p7:
             x = feats[-1] if self.p6p7_from_c5 else results[-1]
             p6 = conv(self.out_channels, 3, strides=2, padding=1,
-                      use_bias=True, name="p6")(x)
+                      use_bias=True, dtype=self.dtype, name="p6")(x)
             p7 = conv(self.out_channels, 3, strides=2, padding=1,
-                      use_bias=True, name="p7")(nn.relu(p6))
+                      use_bias=True, dtype=self.dtype, name="p7")(nn.relu(p6))
             results.extend([p6, p7])
         else:
             results.append(

@@ -62,9 +62,14 @@ def conv(
     dilation=1,
     kernel_init=kaiming_uniform_a1,
     bias_init=nn.initializers.zeros,
+    dtype=None,
     name=None,
 ):
-    """Conv2D with torch-style explicit integer padding (NHWC)."""
+    """Conv2D with torch-style explicit integer padding (NHWC).
+
+    ``dtype`` is the compute dtype (params stay float32); pass
+    jnp.bfloat16 to run the conv on the MXU in bf16.
+    """
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size, kernel_size)
     if isinstance(strides, int):
@@ -83,6 +88,8 @@ def conv(
         kernel_dilation=dilation,
         kernel_init=kernel_init,
         bias_init=bias_init,
+        dtype=dtype,
+        param_dtype=jnp.float32,
         name=name,
     )
 

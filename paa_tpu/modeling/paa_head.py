@@ -45,7 +45,8 @@ class ConvTower(nn.Module):
             else:
                 x = conv(
                     self.channels, 3, padding=1, use_bias=True,
-                    kernel_init=head_normal_init, name=f"conv{i}",
+                    kernel_init=head_normal_init, dtype=self.dtype,
+                    name=f"conv{i}",
                 )(x)
             x = GroupNorm32(self.channels, name=f"gn{i}")(x)
             x = nn.relu(x)
@@ -81,16 +82,17 @@ class PAAHead(nn.Module):
             self.num_anchors * self.num_classes, 3, padding=1, use_bias=True,
             kernel_init=head_normal_init,
             bias_init=nn.initializers.constant(bias_value),
-            name="cls_logits",
+            dtype=self.dtype, name="cls_logits",
         )
         bbox_pred = conv(
             self.num_anchors * 4, 3, padding=1, use_bias=True,
-            kernel_init=head_normal_init, name="bbox_pred",
+            kernel_init=head_normal_init, dtype=self.dtype, name="bbox_pred",
         )
         iou_pred = (
             conv(
                 self.num_anchors, 3, padding=1, use_bias=True,
-                kernel_init=head_normal_init, name="iou_pred",
+                kernel_init=head_normal_init, dtype=self.dtype,
+                name="iou_pred",
             )
             if self.use_iou_pred
             else None

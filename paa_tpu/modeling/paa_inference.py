@@ -1,0 +1,183 @@
+"""PAA post-processing: static-shape, fully on-device.
+
+Re-designs reference paa_core/modeling/rpn/paa/inference.py as pure batched
+functions:
+
+- per level (inference.py:36-82): sigmoid scores, candidate mask at
+  INFERENCE_TH applied to the RAW cls scores, score fusion
+  ``sqrt(cls * iou_pred)``, per-image top-k (PRE_NMS_TOP_N) among
+  candidates via masked ``lax.top_k``, decode, clip;
+- across levels (inference.py:105-121): class-aware greedy NMS at NMS_TH
+  emitting exactly DETECTIONS_PER_IMG picks (greedy NMS selects in
+  descending score order, so this equals full ml_nms + kthvalue cap);
+- optional score voting (inference.py:123-157): for every kept detection,
+  an exp(-(1-IoU)^2/sigma)-weighted average over all same-class pre-NMS
+  candidates with IoU > 0.01.
+
+Everything is (B, ...) batched with validity masks instead of the
+reference's per-image BoxList loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nms import nms
+from ..structures.boxes import box_iou, clip_to_image
+from .box_coder import decode_box
+
+_SCORE_VOTING_SIGMA = 0.025  # reference inference.py:128
+_IOU_VOTE_MIN = 0.01  # reference inference.py:141
+
+
+@dataclass(frozen=True)
+class PostProcessConfig:
+    pre_nms_thresh: float = 0.05
+    pre_nms_top_n: int = 1000
+    nms_thresh: float = 0.6
+    detections_per_img: int = 100
+    num_classes: int = 80  # WITHOUT background
+    score_voting: bool = True
+
+    @staticmethod
+    def from_cfg(cfg):
+        return PostProcessConfig(
+            pre_nms_thresh=cfg.MODEL.PAA.INFERENCE_TH,
+            pre_nms_top_n=cfg.MODEL.PAA.PRE_NMS_TOP_N,
+            nms_thresh=cfg.MODEL.PAA.NMS_TH,
+            detections_per_img=cfg.TEST.DETECTIONS_PER_IMG,
+            num_classes=cfg.MODEL.PAA.NUM_CLASSES - 1,
+            score_voting=cfg.MODEL.PAA.INFERENCE_SCORE_VOTING,
+        )
+
+
+def _select_level(cls_logits, box_regression, iou_pred, anchors, pp):
+    """Single-level candidate selection for one image.
+
+    cls_logits: (N, C); box_regression: (N, 4); iou_pred: (N,) or None;
+    anchors: (N, 4). Returns (boxes (K,4), scores (K,), labels (K,),
+    valid (K,)) with K = min(pre_nms_top_n, N*C).
+    """
+    n, c = cls_logits.shape
+    cls_prob = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    cand = cls_prob > pp.pre_nms_thresh  # threshold on RAW cls scores
+    if iou_pred is not None:
+        iou_prob = jax.nn.sigmoid(iou_pred.astype(jnp.float32))
+        fused = jnp.sqrt(cls_prob * iou_prob[:, None])
+    else:
+        fused = cls_prob
+
+    k = min(pp.pre_nms_top_n, n * c)
+    masked = jnp.where(cand, fused, -1.0).reshape(-1)
+    scores, flat_idx = jax.lax.top_k(masked, k)
+    anchor_idx = flat_idx // c
+    labels = (flat_idx % c + 1).astype(jnp.int32)
+    valid = scores > 0.0  # only true candidates survive
+
+    boxes = decode_box(
+        box_regression[anchor_idx].astype(jnp.float32), anchors[anchor_idx]
+    )
+    return boxes, scores, labels, valid
+
+
+def _score_vote(kept_boxes, kept_labels, kept_valid,
+                cand_boxes, cand_scores, cand_labels, cand_valid):
+    """Score voting for one image (inference.py:123-157)."""
+    ious = box_iou(kept_boxes, cand_boxes)  # (D, K) +1 convention
+    same_label = kept_labels[:, None] == cand_labels[None, :]
+    pos = (ious > _IOU_VOTE_MIN) & same_label & cand_valid[None, :]
+    pis = jnp.where(
+        pos,
+        jnp.exp(-((1.0 - ious) ** 2) / _SCORE_VOTING_SIGMA)
+        * cand_scores[None, :],
+        0.0,
+    )
+    denom = pis.sum(axis=1, keepdims=True)
+    voted = (pis[:, :, None] * cand_boxes[None, :, :]).sum(axis=1) / jnp.maximum(
+        denom, 1e-12
+    )
+    use_vote = (denom[:, 0] > 0) & kept_valid
+    return jnp.where(use_vote[:, None], voted, kept_boxes)
+
+
+def _postprocess_single(cls_logits, box_regression, iou_pred, image_size,
+                        anchors, level_counts, pp):
+    """Full post-processing for ONE image. Level-split is static."""
+    boxes_l, scores_l, labels_l, valid_l = [], [], [], []
+    start = 0
+    for count in level_counts:
+        sl = slice(start, start + count)
+        b, s, l, v = _select_level(
+            cls_logits[sl],
+            box_regression[sl],
+            None if iou_pred is None else iou_pred[sl],
+            anchors[sl],
+            pp,
+        )
+        boxes_l.append(b)
+        scores_l.append(s)
+        labels_l.append(l)
+        valid_l.append(v)
+        start += count
+
+    boxes = jnp.concatenate(boxes_l, axis=0)
+    scores = jnp.concatenate(scores_l, axis=0)
+    labels = jnp.concatenate(labels_l, axis=0)
+    valid = jnp.concatenate(valid_l, axis=0)
+
+    # clip to the (un-padded) image extent, like BoxList.clip_to_image
+    boxes = clip_to_image(boxes, image_size.astype(boxes.dtype))
+
+    keep_idx, keep_scores, keep_valid = nms(
+        boxes, scores, labels, valid, pp.nms_thresh,
+        pp.detections_per_img, class_aware=True,
+    )
+    kept_boxes = boxes[keep_idx]
+    kept_labels = labels[keep_idx]
+
+    if pp.score_voting:
+        kept_boxes = _score_vote(
+            kept_boxes, kept_labels, keep_valid,
+            boxes, scores, labels, valid,
+        )
+
+    return {
+        "boxes": kept_boxes,
+        "scores": jnp.where(keep_valid, keep_scores, 0.0),
+        "labels": jnp.where(keep_valid, kept_labels, 0),
+        "valid": keep_valid,
+    }
+
+
+def paa_postprocess(outputs, image_sizes, anchors, level_counts, pp):
+    """Batched post-processing.
+
+    Args:
+        outputs: dict with 'cls_logits' (B, N, C), 'box_regression'
+            (B, N, 4), optional 'iou_pred' (B, N).
+        image_sizes: (B, 2) float (h, w) un-padded content extents.
+        anchors: (N, 4) float32 (shared across the batch).
+        level_counts: static per-level anchor counts summing to N.
+        pp: PostProcessConfig.
+
+    Returns dict of (B, detections_per_img, ...) arrays.
+    """
+    iou_pred = outputs.get("iou_pred")
+    fn = partial(
+        _postprocess_single,
+        level_counts=tuple(level_counts),
+        pp=pp,
+    )
+    return jax.vmap(
+        lambda c, b, i, s: fn(c, b, i, s, anchors=anchors)
+    )(
+        outputs["cls_logits"],
+        outputs["box_regression"],
+        iou_pred,
+        image_sizes,
+    )

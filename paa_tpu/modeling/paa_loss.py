@@ -1,0 +1,308 @@
+"""PAA training loss: probabilistic anchor assignment, fully on-device.
+
+Re-designs reference paa_core/modeling/rpn/paa/loss.py as one batched,
+static-shape pipeline inside the jitted train step:
+
+1. IoU pre-assignment at IOU_THRESHOLD (loss.py:89-126) via the batched
+   matcher.
+2. Detached per-anchor scores = focal cls loss + GIoU reg loss
+   (loss.py:292-306), with INF for unmatched anchors.
+3. Candidate selection (loss.py:154-178): per (image, GT, level), the
+   TOPK lowest-loss anchors among those matched to that GT — a masked
+   ``lax.top_k`` per level instead of the reference's triple Python loop.
+4. GMM split (loss.py:187-230): the per-GT sklearn GaussianMixture fit on
+   CPU numpy — the reference's biggest host sync — becomes one batched
+   fixed-iteration EM over the (B, G, L*K) candidate-loss tensor
+   (ops/gmm.py). The positive set is sorted positions <= fg_max_idx
+   (loss.py:208-213); if the foreground component is empty all candidates
+   are positive (loss.py:214-217); single-candidate GTs take position 0
+   (loss.py:218-221). KEY VECTORIZATION FACT: candidate sets of different
+   GTs are disjoint (each anchor has exactly one matched_idx), so the
+   reference's sequential per-GT writes commute and scatter in one pass.
+5. Final losses (loss.py:317-359): focal cls over all anchors normalized
+   by the cross-replica positive count, IoU-weighted GIoU reg normalized
+   by the cross-replica IoU sum, BCE on the IoU-prediction branch. The
+   reference's NCCL ``reduce_sum`` calls (loss.py:22-28) disappear: under
+   pjit the batch axis is global, so plain ``jnp.sum`` IS the cross-replica
+   reduction, and per-GPU averages are expressed with ``num_shards``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.focal_loss import sigmoid_focal_loss
+from ..ops.gmm import gmm_fit_predict
+from ..structures.boxes import box_iou, box_iou_aligned
+from .box_coder import decode_box, encode_box
+from .matcher import match_anchors
+
+INF = 1e8
+
+
+@dataclass(frozen=True)
+class PAALossConfig:
+    gamma: float = 2.0
+    alpha: float = 0.25
+    iou_threshold: float = 0.1
+    topk: int = 9
+    reg_loss_weight: float = 1.3
+    iou_loss_weight: float = 0.5
+    use_iou_pred: bool = True
+    gmm_iters: int = 64
+
+    @staticmethod
+    def from_cfg(cfg):
+        return PAALossConfig(
+            gamma=cfg.MODEL.PAA.LOSS_GAMMA,
+            alpha=cfg.MODEL.PAA.LOSS_ALPHA,
+            iou_threshold=cfg.MODEL.PAA.IOU_THRESHOLD,
+            topk=cfg.MODEL.PAA.TOPK,
+            reg_loss_weight=cfg.MODEL.PAA.REG_LOSS_WEIGHT,
+            iou_loss_weight=cfg.MODEL.PAA.IOU_LOSS_WEIGHT,
+            use_iou_pred=cfg.MODEL.PAA.USE_IOU_PRED,
+            gmm_iters=cfg.TPU.GMM_ITERS,
+        )
+
+
+def giou_loss(pred_deltas, target_deltas, anchors):
+    """GIoU loss on decoded boxes (reference GIoULoss, loss.py:46-87).
+
+    Note: areas here use NO +1 convention, matching the reference exactly
+    (loss.py:54 vs the +1 in compute_ious).
+    """
+    pred = decode_box(pred_deltas, anchors)
+    px1, py1 = pred[..., 0], pred[..., 1]
+    px2 = jnp.maximum(px1, pred[..., 2])
+    py2 = jnp.maximum(py1, pred[..., 3])
+    pred_area = (px2 - px1) * (py2 - py1)
+
+    gt = decode_box(target_deltas, anchors)
+    gx1, gy1, gx2, gy2 = gt[..., 0], gt[..., 1], gt[..., 2], gt[..., 3]
+    target_area = (gx2 - gx1) * (gy2 - gy1)
+
+    x1i = jnp.maximum(px1, gx1)
+    y1i = jnp.maximum(py1, gy1)
+    x2i = jnp.minimum(px2, gx2)
+    y2i = jnp.minimum(py2, gy2)
+    inter_mask = (y2i > y1i) & (x2i > x1i)
+    area_inter = jnp.where(inter_mask, (x2i - x1i) * (y2i - y1i), 0.0)
+
+    x1e = jnp.minimum(px1, gx1)
+    y1e = jnp.minimum(py1, gy1)
+    x2e = jnp.maximum(px2, gx2)
+    y2e = jnp.maximum(py2, gy2)
+    area_enclosing = (x2e - x1e) * (y2e - y1e) + 1e-7
+
+    area_union = pred_area + target_area - area_inter + 1e-7
+    ious = area_inter / area_union
+    gious = ious - (area_enclosing - area_union) / area_enclosing
+    return 1.0 - gious
+
+
+def bce_with_logits(logits, targets):
+    """Elementwise BCEWithLogits: -(t log sig(x) + (1-t) log sig(-x))."""
+    return -(
+        targets * jax.nn.log_sigmoid(logits)
+        + (1.0 - targets) * jax.nn.log_sigmoid(-logits)
+    )
+
+
+def _select_candidates(combined_loss, matched_idx, iou_labels,
+                       level_counts, num_gt, topk):
+    """Per (image, GT, level) top-k lowest-loss candidate anchors
+    (loss.py:154-178).
+
+    Returns:
+        cand_idx: (B, G, L*topk) int32 global anchor indices.
+        cand_valid: (B, G, L*topk) bool.
+    """
+    b = combined_loss.shape[0]
+    gt_range = jnp.arange(num_gt, dtype=jnp.int32)  # (G,)
+    idx_chunks, valid_chunks = [], []
+    start = 0
+    for count in level_counts:
+        sl = slice(start, start + count)
+        loss_l = combined_loss[:, sl]  # (B, n)
+        matched_l = matched_idx[:, sl]  # (B, n)
+        labels_l = iou_labels[:, sl]  # (B, n)
+        eligible = (
+            (matched_l[:, None, :] == gt_range[None, :, None])
+            & (labels_l[:, None, :] > 0)
+        )  # (B, G, n)
+        masked = jnp.where(eligible, loss_l[:, None, :], INF)
+        k = min(topk, count)
+        neg_top, idx = jax.lax.top_k(-masked, k)  # lowest loss first
+        valid = jnp.take_along_axis(eligible, idx, axis=-1)
+        idx_chunks.append((idx + start).astype(jnp.int32))
+        valid_chunks.append(valid)
+        start += count
+    return (
+        jnp.concatenate(idx_chunks, axis=-1),
+        jnp.concatenate(valid_chunks, axis=-1),
+    )
+
+
+def _paa_positive_mask(combined_loss, cand_idx, cand_valid, gmm_iters):
+    """GMM fit + pos/neg split; scatter positives back to anchor space.
+
+    Returns pos_anchor_mask (B, N) bool.
+    """
+    bsz, num_gt, k = cand_idx.shape
+    num_anchors = combined_loss.shape[1]
+
+    cand_loss = jax.vmap(lambda cl, ci: cl[ci])(combined_loss, cand_idx)
+    cand_loss = jnp.where(cand_valid, cand_loss, INF)
+
+    # ascending sort; invalid (INF) go last (loss.py:191)
+    order = jnp.argsort(cand_loss, axis=-1)
+    sorted_loss = jnp.take_along_axis(cand_loss, order, axis=-1)
+    sorted_idx = jnp.take_along_axis(cand_idx, order, axis=-1)
+    sorted_valid = jnp.take_along_axis(cand_valid, order, axis=-1)
+
+    components, scores = gmm_fit_predict(
+        sorted_loss, sorted_valid, num_iters=gmm_iters
+    )
+    fgs = (components == 0) & sorted_valid
+    fg_any = fgs.any(axis=-1)  # (B, G)
+
+    neg_big = jnp.float32(-1e30)
+    fg_scores = jnp.where(fgs, scores, neg_big)
+    fg_max_score = fg_scores.max(axis=-1, keepdims=True)
+    is_fg_max = fgs & (scores == fg_max_score)
+    fg_max_idx = jnp.argmax(is_fg_max, axis=-1)  # first max (loss.py:211)
+
+    positions = jnp.arange(k, dtype=jnp.int32)
+    n_valid = sorted_valid.sum(axis=-1)  # (B, G)
+
+    pos_multi = jnp.where(
+        fg_any[:, :, None],
+        positions[None, None, :] <= fg_max_idx[:, :, None],
+        sorted_valid,  # no fg component: all positive (loss.py:214-217)
+    )
+    pos_single = positions[None, None, :] == 0  # numel==1 (loss.py:218-221)
+    pos_sorted = jnp.where(
+        (n_valid > 1)[:, :, None], pos_multi, pos_single
+    ) & sorted_valid
+
+    # scatter to anchors; candidate sets are disjoint across GTs
+    flat_idx = jnp.where(pos_sorted, sorted_idx, 0).reshape(bsz, -1)
+    flat_val = pos_sorted.reshape(bsz, -1)
+    pos_anchor = jnp.zeros((bsz, num_anchors), dtype=bool)
+    pos_anchor = jax.vmap(
+        lambda acc, i, v: acc.at[i].max(v)
+    )(pos_anchor, flat_idx, flat_val)
+    return pos_anchor
+
+
+def paa_loss(outputs, gt_boxes, gt_labels, anchors, level_counts, lc,
+             num_shards=1):
+    """Compute the PAA losses for one (global) batch.
+
+    Args:
+        outputs: dict with 'cls_logits' (B, N, C), 'box_regression'
+            (B, N, 4), optional 'iou_pred' (B, N).
+        gt_boxes: (B, G, 4) float32 xyxy, padded.
+        gt_labels: (B, G) int32, 1..C; 0 marks padding.
+        anchors: (N, 4) float32.
+        level_counts: static per-level anchor counts.
+        lc: PAALossConfig.
+        num_shards: number of data-parallel shards — reproduces the
+            reference's per-GPU loss averaging semantics under gradient
+            averaging (loss.py:317-322,338).
+
+    Returns dict(loss_cls, loss_reg, loss_iou_pred, num_pos).
+    """
+    cls_logits = outputs["cls_logits"].astype(jnp.float32)
+    box_regression = outputs["box_regression"].astype(jnp.float32)
+    iou_pred = outputs.get("iou_pred")
+    if iou_pred is not None:
+        iou_pred = iou_pred.astype(jnp.float32)
+
+    gt_valid = gt_labels > 0
+    anchors = jnp.asarray(anchors, dtype=jnp.float32)
+
+    # ---- 1. IoU-based pre-assignment --------------------------------
+    iou = box_iou(gt_boxes, anchors[None])  # (B, G, N)
+    matched = match_anchors(
+        iou, gt_valid, lc.iou_threshold, lc.iou_threshold,
+        allow_low_quality_matches=True,
+    )  # (B, N)
+    matched_clamped = jnp.maximum(matched, 0)
+    iou_labels = jnp.where(
+        matched >= 0,
+        jnp.take_along_axis(gt_labels, matched_clamped, axis=1),
+        jnp.where(matched == -2, -1, 0),
+    ).astype(jnp.int32)  # (B, N)
+    matched_boxes = jnp.take_along_axis(
+        gt_boxes, matched_clamped[:, :, None], axis=1
+    )  # (B, N, 4)
+    reg_targets_iou = encode_box(matched_boxes, anchors[None])
+
+    # ---- 2. detached anchor scores ----------------------------------
+    cls_detached = jax.lax.stop_gradient(cls_logits)
+    reg_detached = jax.lax.stop_gradient(box_regression)
+    score_cls = sigmoid_focal_loss(
+        cls_detached, iou_labels, lc.gamma, lc.alpha
+    ).sum(-1)
+    score_reg = giou_loss(reg_detached, reg_targets_iou, anchors[None])
+    combined_loss = score_cls + jnp.where(iou_labels > 0, score_reg, INF)
+
+    # ---- 3+4. PAA candidate selection and GMM split ------------------
+    num_gt = gt_boxes.shape[1]
+    cand_idx, cand_valid = _select_candidates(
+        combined_loss, matched, iou_labels, level_counts, num_gt, lc.topk
+    )
+    pos_mask = _paa_positive_mask(
+        combined_loss, cand_idx, cand_valid, lc.gmm_iters
+    )  # (B, N)
+
+    labels_paa = jnp.where(
+        pos_mask,
+        jnp.take_along_axis(gt_labels, matched_clamped, axis=1),
+        0,
+    ).astype(jnp.int32)
+
+    # ---- 5. final losses ---------------------------------------------
+    num_pos = pos_mask.sum()
+    # max(total/num_gpus, 1) per GPU under grad averaging == global
+    # denominator max(total, num_shards)
+    num_pos_norm = jnp.maximum(num_pos.astype(jnp.float32),
+                               float(num_shards))
+
+    cls_loss = sigmoid_focal_loss(cls_logits, labels_paa, lc.gamma, lc.alpha)
+    loss_cls = cls_loss.sum() / num_pos_norm
+
+    posf = pos_mask.astype(jnp.float32)
+    gt_decoded = decode_box(reg_targets_iou, anchors[None])
+    pred_decoded = jax.lax.stop_gradient(
+        decode_box(box_regression, anchors[None])
+    )
+    ious = box_iou_aligned(gt_decoded, pred_decoded)  # (B, N), +1 convention
+
+    out = {}
+    if lc.use_iou_pred and iou_pred is not None:
+        iou_bce = bce_with_logits(iou_pred, ious) * posf
+        out["loss_iou_pred"] = (
+            iou_bce.sum() / num_pos_norm * lc.iou_loss_weight
+        )
+        sum_ious = (ious * posf).sum()
+        reg_norm = jnp.maximum(sum_ious, 1e-6)
+        reg_weight = ious
+    else:
+        reg_norm = num_pos_norm
+        reg_weight = jnp.ones_like(ious)
+
+    reg_giou = giou_loss(box_regression, reg_targets_iou, anchors[None])
+    loss_reg = (
+        (reg_giou * reg_weight * posf).sum() / reg_norm * lc.reg_loss_weight
+    )
+
+    out["loss_cls"] = loss_cls
+    out["loss_reg"] = loss_reg
+    out["num_pos"] = num_pos
+    return out

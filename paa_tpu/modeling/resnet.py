@@ -52,9 +52,8 @@ class Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = conv(self.out_channels, 7, strides=2, padding=3, name="conv1")(
-            x.astype(self.dtype)
-        )
+        x = conv(self.out_channels, 7, strides=2, padding=3,
+                 dtype=self.dtype, name="conv1")(x.astype(self.dtype))
         x = make_norm(self.norm, self.out_channels, "bn1")(x)
         x = nn.relu(x)
         return max_pool_3x3_s2(x)
@@ -87,7 +86,8 @@ class Bottleneck(nn.Module):
         )
 
         out = conv(
-            self.bottleneck_channels, 1, strides=stride_1x1, name="conv1"
+            self.bottleneck_channels, 1, strides=stride_1x1,
+            dtype=self.dtype, name="conv1",
         )(x)
         out = make_norm(self.norm, self.bottleneck_channels, "bn1")(out)
         out = nn.relu(out)
@@ -114,19 +114,20 @@ class Bottleneck(nn.Module):
                 padding=self.dilation,
                 groups=self.num_groups,
                 dilation=self.dilation,
+                dtype=self.dtype,
                 name="conv2",
             )(out)
         out = make_norm(self.norm, self.bottleneck_channels, "bn2")(out)
         out = nn.relu(out)
 
-        out = conv(self.out_channels, 1, name="conv3")(out)
+        out = conv(self.out_channels, 1, dtype=self.dtype, name="conv3")(out)
         out = make_norm(self.norm, self.out_channels, "bn3")(out)
 
         if in_channels != self.out_channels:
             down_stride = stride if self.dilation == 1 else 1
             identity = conv(
                 self.out_channels, 1, strides=down_stride,
-                name="downsample_conv",
+                dtype=self.dtype, name="downsample_conv",
             )(x)
             identity = make_norm(
                 self.norm, self.out_channels, "downsample_bn"
