@@ -231,8 +231,8 @@ _C.TPU = CN()
 # Static padded-shape buckets (H, W) that images are resized+padded into so
 # XLA compiles a fixed number of programs. Replaces the reference's
 # pad-to-batch-max dynamic shapes (paa_core/structures/image_list.py:54-61).
-_C.TPU.TRAIN_BUCKETS = ((800, 1344), (1344, 800), (1088, 1088))
-_C.TPU.TEST_BUCKETS = ((800, 1344), (1344, 800), (1088, 1088))
+_C.TPU.TRAIN_BUCKETS = ((800, 1344), (1344, 800))
+_C.TPU.TEST_BUCKETS = ((800, 1344), (1344, 800))
 # Max ground-truth boxes per image after padding (COCO max is 93).
 _C.TPU.MAX_GT = 100
 # Compute dtype of the conv/matmul path ("bfloat16" or "float32");

@@ -1,0 +1,151 @@
+"""Evaluation engine.
+
+Mirrors reference paa_core/engine/inference.py:19-123: batched no-grad
+forward + post-processing per image, predictions gathered to host keyed by
+image id, timing of total vs model time, then COCO-style evaluation.
+
+TPU redesign: one jitted forward+postprocess program per size bucket;
+boxes are rescaled to original image coordinates on host and converted to
+COCO xywh with the +1 convention (BoxList.convert semantics) before
+entering the evaluator.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import make_data_loader
+from ..evaluation.coco_eval import COCOEvaluator, format_results
+from ..modeling.paa_inference import PostProcessConfig, paa_postprocess
+
+
+def make_eval_fn(model, variables, pp):
+    """Returns eval_fn(images, image_sizes) jitted per input shape."""
+
+    @jax.jit
+    def eval_fn(images, image_sizes):
+        outputs = model.module.apply(variables, images)
+        hw = images.shape[1:3]
+        anchors, counts = model.anchors_for(hw)
+        return model.postprocess(
+            outputs, image_sizes, jnp.asarray(anchors), counts
+        )
+
+    return eval_fn
+
+
+def compute_on_dataset(model, variables, loader, pp, logger=None):
+    eval_fn = make_eval_fn(model, variables, pp)
+    predictions = {}
+    model_time = 0.0
+    n_images = 0
+    for batch in loader:
+        t0 = time.time()
+        det = eval_fn(
+            jnp.asarray(batch["images"]),
+            jnp.asarray(batch["image_sizes"]),
+        )
+        det = jax.tree_util.tree_map(np.asarray, det)
+        model_time += time.time() - t0
+
+        for i, img_id in enumerate(batch["image_ids"]):
+            if img_id < 0:  # padding image in a short batch
+                continue
+            n_images += 1
+            valid = det["valid"][i]
+            boxes = det["boxes"][i][valid]
+            scores = det["scores"][i][valid]
+            labels = det["labels"][i][valid]
+            # rescale network-input coords -> original image coords
+            oh, ow = batch["orig_sizes"][i]
+            rh, rw = batch["image_sizes"][i]
+            scale = np.array(
+                [ow / rw, oh / rh, ow / rw, oh / rh], dtype=np.float32
+            )
+            boxes = boxes * scale
+            # xyxy -> COCO xywh with the +1 convention (BoxList.convert)
+            xywh = np.stack(
+                [
+                    boxes[:, 0],
+                    boxes[:, 1],
+                    boxes[:, 2] - boxes[:, 0] + 1.0,
+                    boxes[:, 3] - boxes[:, 1] + 1.0,
+                ],
+                axis=1,
+            )
+            predictions[int(img_id)] = dict(
+                boxes_xywh=xywh, scores=scores, labels=labels
+            )
+    return predictions, model_time, n_images
+
+
+def inference(cfg, model, variables, dataset, output_folder=None,
+              logger=None):
+    logger = logger or logging.getLogger("paa_tpu.inference")
+    loader = make_data_loader(cfg, dataset, is_train=False)
+    pp = model.postprocess_config()
+
+    t_start = time.time()
+    predictions, model_time, n_images = compute_on_dataset(
+        model, variables, loader, pp, logger
+    )
+    total = time.time() - t_start
+    if n_images:
+        logger.info(
+            f"Total run time: {total:.1f}s "
+            f"({total / n_images:.4f} s/img); model time "
+            f"{model_time:.1f}s ({model_time / n_images:.4f} s/img)"
+        )
+
+    # map contiguous labels -> json category ids
+    cat_ids = sorted(dataset.contiguous_category_id_to_json_id.values())
+    detections: Dict[int, dict] = {}
+    for img_id, p in predictions.items():
+        detections[img_id] = dict(
+            boxes_xywh=p["boxes_xywh"],
+            scores=p["scores"],
+            category_ids=np.asarray(
+                [
+                    dataset.contiguous_category_id_to_json_id[int(l)]
+                    for l in p["labels"]
+                ],
+                dtype=np.int64,
+            ),
+        )
+
+    image_ids = [r.id for r in dataset.records]
+    evaluator = COCOEvaluator(
+        dataset._raw_annotations, cat_ids, image_ids
+    )
+    results = evaluator.evaluate(detections)
+    logger.info("\n" + format_results(results))
+
+    if output_folder:
+        import json
+        import os
+
+        os.makedirs(output_folder, exist_ok=True)
+        with open(os.path.join(output_folder, "coco_results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        bbox_json = []
+        for img_id, d in detections.items():
+            for b, s, c in zip(
+                d["boxes_xywh"], d["scores"], d["category_ids"]
+            ):
+                bbox_json.append(
+                    dict(
+                        image_id=int(img_id),
+                        category_id=int(c),
+                        bbox=[float(x) for x in b],
+                        score=float(s),
+                    )
+                )
+        with open(os.path.join(output_folder, "bbox.json"), "w") as f:
+            json.dump(bbox_json, f)
+    return results

@@ -1,0 +1,115 @@
+"""The jitted, sharded train step.
+
+Replaces the reference hot loop body (paa_core/engine/trainer.py:57-113:
+fwd -> sum losses -> backward -> DDP bucket all-reduce -> SGD step) with a
+single pjit-compiled program per size bucket: the whole step — model
+forward, GMM anchor assignment, losses, gradients, optimizer update — runs
+on-device with the batch sharded over the 'data' mesh axis and parameters
+replicated. Gradient averaging across shards is implicit in the global
+formulation (sums over the global batch / global normalizers), so there is
+no DDP wrapper and no explicit all-reduce anywhere.
+
+Frozen parameters (FrozenBN stats + FREEZE_CONV_BODY_AT stages) are
+stop-gradiented inside the loss so XLA prunes their backward pass
+entirely, in addition to the optimizer's set_to_zero.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..modeling.paa_loss import PAALossConfig, paa_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Any = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, apply_fn, params, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            tx=tx,
+            apply_fn=apply_fn,
+        )
+
+
+def make_train_step(apply_fn, anchors, level_counts, loss_cfg: PAALossConfig,
+                    param_label_tree=None, num_shards=1, donate=True,
+                    loss_call=paa_loss):
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch: dict with 'images' (B, H, W, 3), 'gt_boxes' (B, G, 4),
+    'gt_labels' (B, G). Callers jit this once per size bucket with
+    appropriate shardings (state replicated, batch sharded on 'data').
+    """
+    anchors = jnp.asarray(anchors, jnp.float32)
+    counts = tuple(level_counts)
+
+    def loss_fn(params, batch):
+        if param_label_tree is not None:
+            params = jax.tree_util.tree_map(
+                lambda p, label: (
+                    jax.lax.stop_gradient(p) if label == "frozen" else p
+                ),
+                params,
+                param_label_tree,
+            )
+        outputs = apply_fn({"params": params}, batch["images"])
+        losses = loss_call(
+            outputs,
+            batch["gt_boxes"],
+            batch["gt_labels"],
+            anchors,
+            counts,
+            loss_cfg,
+            num_shards=num_shards,
+        )
+        total = sum(
+            v for k, v in losses.items() if k.startswith("loss_")
+        )
+        return total, losses
+
+    def train_step(state: TrainState, batch):
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch)
+        updates, new_opt_state = state.tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+        )
+        metrics = dict(losses)
+        metrics["loss"] = total
+        return new_state, metrics
+
+    return train_step
+
+
+def jit_train_step(train_step, mesh):
+    """Jit with data-sharded batch and replicated state over ``mesh``."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch_sh),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,123 @@
+"""Training loop.
+
+Mirrors reference paa_core/engine/trainer.py:38-121: iteration loop with
+data/step timing, 20-iteration metric logging with ETA and lr, periodic
+checkpointing. TPU redesign: the step is one jitted sharded program per
+size bucket (engine/train_step.py); batches are device_put with the data
+sharding; loss smoothing reads metrics with a one-step lag to avoid
+forcing a device sync every iteration.
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import make_data_loader
+from ..solver import make_optimizer
+from ..utils.checkpoint import Checkpointer
+from ..utils.metric_logger import MetricLogger
+from .train_step import TrainState, jit_train_step, make_train_step
+
+
+def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
+             start_iter=0, logger=None):
+    logger = logger or logging.getLogger("paa_tpu.trainer")
+    logger.info("Start training")
+    meters = MetricLogger()
+    max_iter = cfg.SOLVER.MAX_ITER
+    checkpoint_period = cfg.SOLVER.CHECKPOINT_PERIOD
+
+    loader = make_data_loader(
+        cfg, dataset, is_train=True, start_iter=start_iter
+    )
+    loss_call, loss_cfg = model.loss_fn()
+    num_shards = mesh.devices.size
+
+    from ..solver import param_labels
+
+    labels = param_labels(
+        state.params, cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT
+    )
+
+    # one compiled step per bucket shape
+    steps = {}
+
+    def get_step(hw):
+        if hw not in steps:
+            anchors, counts = model.anchors_for(hw)
+            fn = make_train_step(
+                model.module.apply, anchors, counts, loss_cfg,
+                param_label_tree=labels, num_shards=num_shards,
+                loss_call=loss_call,
+            )
+            steps[hw] = jit_train_step(fn, mesh)
+        return steps[hw]
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+
+    start_time = time.time()
+    end = time.time()
+    prev_metrics = None
+    iteration = start_iter
+    for batch in loader:
+        data_time = time.time() - end
+        iteration += 1
+
+        hw = batch["images"].shape[1:3]
+        step_fn = get_step(hw)
+        device_batch = {
+            k: jax.device_put(batch[k], batch_sharding)
+            for k in ("images", "gt_boxes", "gt_labels")
+        }
+        state, metrics = step_fn(state, device_batch)
+
+        batch_time = time.time() - end
+        end = time.time()
+        meters.update(time=batch_time, data=data_time)
+        if prev_metrics is not None:
+            meters.update(
+                **{k: float(v) for k, v in prev_metrics.items()}
+            )
+        prev_metrics = metrics
+
+        if iteration % 20 == 0 or iteration == max_iter:
+            eta_seconds = meters.meters["time"].global_avg * (
+                max_iter - iteration
+            )
+            eta = str(datetime.timedelta(seconds=int(eta_seconds)))
+            logger.info(
+                f"eta: {eta}  iter: {iteration}  {meters}"
+            )
+        if checkpointer and iteration % checkpoint_period == 0:
+            checkpointer.save(
+                f"model_{iteration:07d}",
+                jax.device_get(
+                    {"params": state.params, "opt_state": state.opt_state}
+                ),
+                iteration=iteration,
+            )
+        if iteration >= max_iter:
+            break
+
+    if checkpointer:
+        checkpointer.save(
+            "model_final",
+            jax.device_get(
+                {"params": state.params, "opt_state": state.opt_state}
+            ),
+            iteration=iteration,
+        )
+    total = time.time() - start_time
+    logger.info(
+        f"Total training time: {datetime.timedelta(seconds=int(total))} "
+        f"({total / max(max_iter - start_iter, 1):.4f} s/it)"
+    )
+    return state

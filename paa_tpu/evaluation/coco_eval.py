@@ -1,0 +1,294 @@
+"""COCO-style detection evaluation, pure numpy.
+
+pycocotools is not available in this environment, so this reimplements
+the COCOeval bbox protocol from scratch (matching pycocotools/cocoeval.py
+semantics): 10 IoU thresholds 0.50:0.05:0.95, 101 recall points, maxDets
+[1,10,100], area ranges all/small/medium/large, crowd-GT "iof" IoU,
+greedy per-threshold matching preferring non-ignored GTs, and the
+standard 12-number summary.
+
+The wrapper mirrors the reference's do_coco_evaluation flow
+(paa_core/data/datasets/evaluation/coco/coco_eval.py:13-67): predictions
+are resized to original image coordinates by the caller, converted to
+xywh with the +1 convention (BoxList.convert), and contiguous labels are
+mapped back to json category ids.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List
+
+import numpy as np
+
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+REC_THRS = np.linspace(0.0, 1.00, 101)
+MAX_DETS = (1, 10, 100)
+AREA_RNGS = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+
+METRICS = (
+    "AP", "AP50", "AP75", "APs", "APm", "APl",
+    "AR1", "AR10", "AR100", "ARs", "ARm", "ARl",
+)
+
+
+def _bbox_iou_xywh(dts, gts, iscrowd):
+    """pycocotools maskUtils.iou for bboxes: plain w*h areas, crowd GTs
+    use union = dt area."""
+    d = np.asarray(dts, dtype=np.float64).reshape(-1, 4)
+    g = np.asarray(gts, dtype=np.float64).reshape(-1, 4)
+    ious = np.zeros((len(d), len(g)))
+    for j, (gx, gy, gw, gh) in enumerate(g):
+        ga = gw * gh
+        x1 = np.maximum(d[:, 0], gx)
+        y1 = np.maximum(d[:, 1], gy)
+        x2 = np.minimum(d[:, 0] + d[:, 2], gx + gw)
+        y2 = np.minimum(d[:, 1] + d[:, 3], gy + gh)
+        iw = np.clip(x2 - x1, 0, None)
+        ih = np.clip(y2 - y1, 0, None)
+        inter = iw * ih
+        da = d[:, 2] * d[:, 3]
+        union = da if iscrowd[j] else da + ga - inter
+        ious[:, j] = inter / np.maximum(union, 1e-12)
+    return ious
+
+
+class COCOEvaluator:
+    """Evaluates detections against COCO-style ground truth.
+
+    gt: dict image_id -> list of annotation dicts with keys
+        bbox (xywh), category_id (json id), iscrowd, area, optional ignore.
+    """
+
+    def __init__(self, gt_by_image: Dict[int, list], cat_ids: List[int],
+                 image_ids: List[int]):
+        self.cat_ids = list(cat_ids)
+        self.image_ids = list(image_ids)
+        self._gt = {}
+        for img_id in self.image_ids:
+            by_cat = defaultdict(list)
+            for a in gt_by_image.get(img_id, []):
+                by_cat[a["category_id"]].append(a)
+            self._gt[img_id] = by_cat
+
+    def evaluate(self, detections: Dict[int, dict]):
+        """detections: image_id -> dict(boxes_xywh (n,4), scores (n,),
+        category_ids (n,)). Returns dict of the 12 standard metrics plus
+        per-metric values in [0,1] (or -1)."""
+        T = len(IOU_THRS)
+        R = len(REC_THRS)
+        K = len(self.cat_ids)
+        A = len(AREA_RNGS)
+        M = len(MAX_DETS)
+        max_det = max(MAX_DETS)
+
+        precision = -np.ones((T, R, K, A, M))
+        recall = -np.ones((T, K, A, M))
+
+        area_items = list(AREA_RNGS.items())
+
+        for k, cat_id in enumerate(self.cat_ids):
+            # gather per-image eval results for this category
+            per_image = []
+            for img_id in self.image_ids:
+                gts = self._gt[img_id].get(cat_id, [])
+                det = detections.get(img_id)
+                if det is None:
+                    dt_boxes = np.zeros((0, 4))
+                    dt_scores = np.zeros((0,))
+                else:
+                    sel = np.asarray(det["category_ids"]) == cat_id
+                    dt_boxes = np.asarray(det["boxes_xywh"])[sel]
+                    dt_scores = np.asarray(det["scores"])[sel]
+                if len(gts) == 0 and len(dt_scores) == 0:
+                    per_image.append(None)
+                    continue
+                order = np.argsort(-dt_scores, kind="mergesort")[:max_det]
+                dt_boxes = dt_boxes[order]
+                dt_scores = dt_scores[order]
+
+                g_boxes = np.asarray([g["bbox"] for g in gts]).reshape(-1, 4)
+                g_crowd = np.asarray(
+                    [int(g.get("iscrowd", 0)) for g in gts], dtype=bool
+                )
+                g_ignore_base = np.asarray(
+                    [
+                        bool(g.get("ignore", 0)) or bool(g.get("iscrowd", 0))
+                        for g in gts
+                    ],
+                    dtype=bool,
+                )
+                g_area = np.asarray(
+                    [
+                        g.get("area", g["bbox"][2] * g["bbox"][3])
+                        for g in gts
+                    ],
+                    dtype=np.float64,
+                )
+                ious = _bbox_iou_xywh(dt_boxes, g_boxes, g_crowd)
+                dt_area = dt_boxes[:, 2] * dt_boxes[:, 3]
+                per_image.append(
+                    dict(
+                        scores=dt_scores,
+                        ious=ious,
+                        g_ignore_base=g_ignore_base,
+                        g_area=g_area,
+                        g_crowd=g_crowd,
+                        dt_area=dt_area,
+                    )
+                )
+
+            for a, (_aname, (a_lo, a_hi)) in enumerate(area_items):
+                # evaluateImg for every image at this area range
+                img_evals = []
+                for ev in per_image:
+                    if ev is None:
+                        img_evals.append(None)
+                        continue
+                    g_ig = ev["g_ignore_base"] | (
+                        (ev["g_area"] < a_lo) | (ev["g_area"] > a_hi)
+                    )
+                    # gt order: non-ignored first (pycocotools sorts by
+                    # ignore flag)
+                    g_order = np.argsort(g_ig, kind="mergesort")
+                    ious = ev["ious"][:, g_order]
+                    g_ig_s = g_ig[g_order]
+                    g_crowd_s = ev["g_crowd"][g_order]
+                    n_dt, n_gt = ious.shape
+
+                    dtm = np.zeros((T, n_dt), dtype=np.int64) - 1
+                    gtm = np.zeros((T, n_gt), dtype=np.int64) - 1
+                    dt_ig = np.zeros((T, n_dt), dtype=bool)
+                    for t, thr in enumerate(IOU_THRS):
+                        for di in range(n_dt):
+                            best = min(thr, 1 - 1e-10)
+                            m = -1
+                            for gi in range(n_gt):
+                                # already-matched non-crowd GTs are
+                                # unavailable (crowd GTs may match many)
+                                if gtm[t, gi] >= 0 and not g_crowd_s[gi]:
+                                    continue
+                                if (
+                                    m > -1
+                                    and not g_ig_s[m]
+                                    and g_ig_s[gi]
+                                ):
+                                    break
+                                if ious[di, gi] < best:
+                                    continue
+                                best = ious[di, gi]
+                                m = gi
+                            if m == -1:
+                                continue
+                            dt_ig[t, di] = g_ig_s[m]
+                            dtm[t, di] = m
+                            gtm[t, m] = di
+                        # unmatched dts outside the area range are ignored
+                        out_of_rng = (
+                            (ev["dt_area"] < a_lo) | (ev["dt_area"] > a_hi)
+                        )
+                        dt_ig[t] |= (dtm[t] == -1) & out_of_rng
+                    img_evals.append(
+                        dict(
+                            scores=ev["scores"],
+                            dtm=dtm,
+                            dt_ig=dt_ig,
+                            n_ig=int(g_ig_s.sum()),
+                            n_gt=n_gt,
+                        )
+                    )
+
+                for m, md in enumerate(MAX_DETS):
+                    scores_all, tps_all, ig_all = [], [], []
+                    npig = 0
+                    for ie in img_evals:
+                        if ie is None:
+                            continue
+                        npig += ie["n_gt"] - ie["n_ig"]
+                        s = ie["scores"][:md]
+                        scores_all.append(s)
+                        tps_all.append(ie["dtm"][:, :md] >= 0)
+                        ig_all.append(ie["dt_ig"][:, :md])
+                    if npig == 0:
+                        continue
+                    if scores_all:
+                        scores_cat = np.concatenate(scores_all)
+                        order = np.argsort(-scores_cat, kind="mergesort")
+                        tps = np.concatenate(tps_all, axis=1)[:, order]
+                        ig = np.concatenate(ig_all, axis=1)[:, order]
+                    else:
+                        tps = np.zeros((T, 0), dtype=bool)
+                        ig = np.zeros((T, 0), dtype=bool)
+
+                    tp = (tps & ~ig).astype(np.float64)
+                    fp = (~tps & ~ig).astype(np.float64)
+                    tp_sum = np.cumsum(tp, axis=1)
+                    fp_sum = np.cumsum(fp, axis=1)
+                    for t in range(T):
+                        tp_c, fp_c = tp_sum[t], fp_sum[t]
+                        nd = len(tp_c)
+                        rc = tp_c / npig
+                        pr = tp_c / np.maximum(tp_c + fp_c, np.finfo(
+                            np.float64).eps)
+                        recall[t, k, a, m] = rc[-1] if nd else 0.0
+                        # monotone-from-right precision envelope
+                        q = np.zeros(R)
+                        if nd:
+                            pr = pr.tolist()
+                            for i in range(nd - 1, 0, -1):
+                                if pr[i] > pr[i - 1]:
+                                    pr[i - 1] = pr[i]
+                            inds = np.searchsorted(rc, REC_THRS, side="left")
+                            for ri, pi in enumerate(inds):
+                                if pi < nd:
+                                    q[ri] = pr[pi]
+                        precision[:, :, k, a, m][t] = q
+
+        self.precision = precision
+        self.recall = recall
+        return self.summarize()
+
+    def _summ(self, ap, iou_thr=None, area="all", max_det=100):
+        a = list(AREA_RNGS.keys()).index(area)
+        m = MAX_DETS.index(max_det)
+        if ap:
+            s = self.precision[:, :, :, a, m]
+            if iou_thr is not None:
+                t = np.where(np.isclose(IOU_THRS, iou_thr))[0]
+                s = s[t]
+        else:
+            s = self.recall[:, :, a, m]
+            if iou_thr is not None:
+                t = np.where(np.isclose(IOU_THRS, iou_thr))[0]
+                s = s[t]
+        valid = s[s > -1]
+        return float(valid.mean()) if valid.size else -1.0
+
+    def summarize(self):
+        return {
+            "AP": self._summ(True),
+            "AP50": self._summ(True, iou_thr=0.5),
+            "AP75": self._summ(True, iou_thr=0.75),
+            "APs": self._summ(True, area="small"),
+            "APm": self._summ(True, area="medium"),
+            "APl": self._summ(True, area="large"),
+            "AR1": self._summ(False, max_det=1),
+            "AR10": self._summ(False, max_det=10),
+            "AR100": self._summ(False, max_det=100),
+            "ARs": self._summ(False, area="small"),
+            "ARm": self._summ(False, area="medium"),
+            "ARl": self._summ(False, area="large"),
+        }
+
+
+def format_results(results):
+    """COCOResults-style table (reference coco_eval.py:358-402)."""
+    lines = ["Task: bbox"]
+    for k in METRICS:
+        lines.append(f"{k}: {results[k]:.4f}")
+    return "\n".join(lines)

@@ -142,6 +142,40 @@ class AnchorGenerator:
         return self._flat_cache[key]
 
 
+class LocationGenerator:
+    """FCOS per-location points with the AnchorGenerator interface: the
+    (N, 2) points are tiled to (N, 4) (x, y, x, y) so downstream code can
+    treat them like anchors (fcos_head.decode_ltrb reads cols 0/1)."""
+
+    def __init__(self, strides):
+        self.strides = tuple(strides)
+        self._cache = {}
+
+    @property
+    def num_anchors_per_location(self):
+        return 1
+
+    def __call__(self, feature_shapes):
+        key = tuple(tuple(s) for s in feature_shapes)
+        if key not in self._cache:
+            per_level = []
+            for (h, w), stride in zip(feature_shapes, self.strides):
+                sx = np.arange(0, w * stride, stride, dtype=np.float32)
+                sy = np.arange(0, h * stride, stride, dtype=np.float32)
+                gx, gy = np.meshgrid(sx, sy)
+                pts = np.stack(
+                    [gx.reshape(-1), gy.reshape(-1)], axis=1
+                ) + stride // 2
+                per_level.append(
+                    np.concatenate([pts, pts], axis=1).astype(np.float32)
+                )
+            counts = [p.shape[0] for p in per_level]
+            self._cache[key] = (
+                np.concatenate(per_level, axis=0), counts
+            )
+        return self._cache[key]
+
+
 def make_anchor_generator_paa(cfg):
     sizes = expand_octave_sizes(
         cfg.MODEL.PAA.ANCHOR_SIZES, cfg.MODEL.PAA.OCTAVE,

@@ -1,0 +1,241 @@
+"""ATSS training loss, batched and on-device.
+
+Re-designs reference paa_core/modeling/rpn/atss/loss.py:
+
+- POSITIVE_TYPE='ATSS' (loss.py:131-186): per (GT, level) the TOPK
+  anchors nearest by center distance are candidates; the IoU threshold is
+  candidate-IoU mean + (Bessel-corrected) std per GT; positives must also
+  have their anchor center inside the GT (margin 0.01); an anchor claimed
+  by several GTs goes to the one with the highest IoU.
+- POSITIVE_TYPE='IoU' (loss.py:188-224): plain matcher at FG/BG
+  thresholds with low-quality matches, then centers-in-gt filtering of
+  positives (failures become ignore).
+- centerness targets sqrt((min(l,r)/max(l,r)) * (min(t,b)/max(t,b)))
+  from the decoded GT vs the anchor center (loss.py:226-240).
+- losses (loss.py:241-276): focal / num_pos_avg; centerness-weighted GIoU
+  / sum_centerness_avg * REG_LOSS_WEIGHT; centerness BCE / num_pos_avg.
+
+Candidate counts are FIXED (TOPK per level over all anchors), so unlike
+PAA no per-candidate masking is needed — only invalid (padded) GTs are
+masked out at the end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.focal_loss import sigmoid_focal_loss
+from ..structures.boxes import box_iou
+from .box_coder import decode_box, encode_box
+from .matcher import match_anchors
+from .paa_loss import bce_with_logits, giou_loss
+
+INF = 1e8
+
+
+@dataclass(frozen=True)
+class ATSSLossConfig:
+    gamma: float = 2.0
+    alpha: float = 0.25
+    topk: int = 9
+    fg_iou_threshold: float = 0.5
+    bg_iou_threshold: float = 0.4
+    reg_loss_weight: float = 2.0
+    positive_type: str = "ATSS"
+
+    @staticmethod
+    def from_cfg(cfg):
+        return ATSSLossConfig(
+            gamma=cfg.MODEL.ATSS.LOSS_GAMMA,
+            alpha=cfg.MODEL.ATSS.LOSS_ALPHA,
+            topk=cfg.MODEL.ATSS.TOPK,
+            fg_iou_threshold=cfg.MODEL.ATSS.FG_IOU_THRESHOLD,
+            bg_iou_threshold=cfg.MODEL.ATSS.BG_IOU_THRESHOLD,
+            reg_loss_weight=cfg.MODEL.ATSS.REG_LOSS_WEIGHT,
+            positive_type=cfg.MODEL.ATSS.POSITIVE_TYPE,
+        )
+
+
+def _anchor_centers(anchors):
+    cx = (anchors[:, 2] + anchors[:, 0]) / 2.0
+    cy = (anchors[:, 3] + anchors[:, 1]) / 2.0
+    return cx, cy
+
+
+def atss_assign(gt_boxes, gt_labels, anchors, level_counts, topk):
+    """Vectorized ATSS positive assignment.
+
+    Returns (labels (B, N) int32 with 0 bg, assigned_gt (B, N) int32).
+    """
+    bsz, num_gt = gt_labels.shape
+    n = anchors.shape[0]
+    gt_valid = gt_labels > 0
+
+    iou = box_iou(anchors[None], gt_boxes)  # (B, N, G)
+
+    acx, acy = _anchor_centers(anchors)
+    gcx = (gt_boxes[..., 2] + gt_boxes[..., 0]) / 2.0  # (B, G)
+    gcy = (gt_boxes[..., 3] + gt_boxes[..., 1]) / 2.0
+    dist = jnp.sqrt(
+        (acx[None, :, None] - gcx[:, None, :]) ** 2
+        + (acy[None, :, None] - gcy[:, None, :]) ** 2
+    )  # (B, N, G)
+
+    # per-level topk nearest anchors per gt
+    cand_chunks = []
+    start = 0
+    for count in level_counts:
+        d = dist[:, start:start + count, :]  # (B, n_l, G)
+        k = min(topk, count)
+        _, idx = jax.lax.top_k(-d.transpose(0, 2, 1), k)  # (B, G, k)
+        cand_chunks.append(idx + start)
+        start += count
+    cand_idx = jnp.concatenate(cand_chunks, axis=-1)  # (B, G, K)
+
+    # candidate IoUs and the mean+std threshold
+    iou_t = iou.transpose(0, 2, 1)  # (B, G, N)
+    cand_ious = jnp.take_along_axis(iou_t, cand_idx, axis=-1)  # (B, G, K)
+    mean = cand_ious.mean(axis=-1, keepdims=True)
+    k_total = cand_ious.shape[-1]
+    std = jnp.sqrt(
+        ((cand_ious - mean) ** 2).sum(axis=-1, keepdims=True)
+        / max(k_total - 1, 1)
+    )
+    thresh = mean + std
+    is_pos = cand_ious >= thresh  # (B, G, K)
+
+    # candidate centers must lie inside the gt (margin 0.01)
+    ccx = acx[cand_idx]  # (B, G, K)
+    ccy = acy[cand_idx]
+    l = ccx - gt_boxes[..., 0:1]
+    t = ccy - gt_boxes[..., 1:2]
+    r = gt_boxes[..., 2:3] - ccx
+    b = gt_boxes[..., 3:4] - ccy
+    in_gt = jnp.minimum(jnp.minimum(l, r), jnp.minimum(t, b)) > 0.01
+    is_pos = is_pos & in_gt & gt_valid[:, :, None]
+
+    # scatter candidate positivity into (B, G, N); conflicts resolved by
+    # highest IoU over G
+    gt_rows = jnp.arange(num_gt, dtype=jnp.int32)[:, None]
+
+    def scatter_one(idx, val):
+        return jnp.zeros((num_gt, n), dtype=bool).at[
+            jnp.broadcast_to(gt_rows, idx.shape), idx
+        ].max(val)
+
+    pos_gn = jax.vmap(scatter_one)(cand_idx, is_pos)  # (B, G, N)
+    ious_inf = jnp.where(pos_gn, iou_t, -INF)  # (B, G, N)
+    best_val = ious_inf.max(axis=1)  # (B, N)
+    assigned = ious_inf.argmax(axis=1).astype(jnp.int32)  # (B, N)
+    labels = jnp.where(
+        best_val > -INF / 2,
+        jnp.take_along_axis(gt_labels, assigned, axis=1),
+        0,
+    ).astype(jnp.int32)
+    return labels, assigned
+
+
+def iou_assign(gt_boxes, gt_labels, anchors, fg_thresh, bg_thresh):
+    """RetinaNet-style assignment + centers-in-gt ignore filtering
+    (loss.py:188-224)."""
+    gt_valid = gt_labels > 0
+    iou = box_iou(gt_boxes, anchors[None])  # (B, G, N)
+    matched = match_anchors(
+        iou, gt_valid, fg_thresh, bg_thresh,
+        allow_low_quality_matches=True,
+    )
+    clamped = jnp.maximum(matched, 0)
+    labels = jnp.where(
+        matched >= 0,
+        jnp.take_along_axis(gt_labels, clamped, axis=1),
+        jnp.where(matched == -2, -1, 0),
+    ).astype(jnp.int32)
+
+    matched_boxes = jnp.take_along_axis(
+        gt_boxes, clamped[:, :, None], axis=1
+    )
+    acx, acy = _anchor_centers(anchors)
+    l = acx[None] - matched_boxes[..., 0]
+    t = acy[None] - matched_boxes[..., 1]
+    r = matched_boxes[..., 2] - acx[None]
+    b = matched_boxes[..., 3] - acy[None]
+    in_gt = jnp.minimum(jnp.minimum(l, r), jnp.minimum(t, b)) > 0.01
+    labels = jnp.where((labels > 0) & ~in_gt, -1, labels)
+    return labels, clamped
+
+
+def compute_centerness_targets(reg_targets, anchors):
+    """sqrt((min/max lr) * (min/max tb)) from decoded gts
+    (loss.py:226-240)."""
+    gts = decode_box(reg_targets, anchors)
+    acx = (anchors[..., 2] + anchors[..., 0]) / 2.0
+    acy = (anchors[..., 3] + anchors[..., 1]) / 2.0
+    l = acx - gts[..., 0]
+    t = acy - gts[..., 1]
+    r = gts[..., 2] - acx
+    b = gts[..., 3] - acy
+    lr_min = jnp.minimum(l, r)
+    lr_max = jnp.maximum(l, r)
+    tb_min = jnp.minimum(t, b)
+    tb_max = jnp.maximum(t, b)
+    ratio = (lr_min / lr_max) * (tb_min / tb_max)
+    return jnp.sqrt(jnp.clip(ratio, 0.0))
+
+
+def atss_loss(outputs, gt_boxes, gt_labels, anchors, level_counts, lc,
+              num_shards=1):
+    cls_logits = outputs["cls_logits"].astype(jnp.float32)
+    box_regression = outputs["box_regression"].astype(jnp.float32)
+    centerness = outputs["iou_pred"].astype(jnp.float32)
+    anchors = jnp.asarray(anchors, jnp.float32)
+    gt_boxes = gt_boxes.astype(jnp.float32)
+
+    if lc.positive_type == "ATSS":
+        labels, assigned = atss_assign(
+            gt_boxes, gt_labels, anchors, level_counts, lc.topk
+        )
+    elif lc.positive_type == "IoU":
+        labels, assigned = iou_assign(
+            gt_boxes, gt_labels, anchors,
+            lc.fg_iou_threshold, lc.bg_iou_threshold,
+        )
+    else:
+        raise NotImplementedError(
+            f"POSITIVE_TYPE {lc.positive_type} (SSC) tracked for a later "
+            "round"
+        )
+
+    matched_boxes = jnp.take_along_axis(
+        gt_boxes, assigned[:, :, None], axis=1
+    )
+    reg_targets = encode_box(matched_boxes, anchors[None])
+
+    pos = labels > 0
+    posf = pos.astype(jnp.float32)
+    num_pos = posf.sum()
+    num_pos_norm = jnp.maximum(num_pos, float(num_shards))
+
+    cls_loss = sigmoid_focal_loss(
+        cls_logits, labels, lc.gamma, lc.alpha
+    ).sum() / num_pos_norm
+
+    ctr_targets = compute_centerness_targets(reg_targets, anchors[None])
+    ctr_targets = jnp.where(pos, ctr_targets, 0.0)
+    sum_ctr = jnp.maximum(ctr_targets.sum(), 1e-6)
+
+    reg = giou_loss(box_regression, reg_targets, anchors[None])
+    reg_loss = (reg * ctr_targets).sum() / sum_ctr * lc.reg_loss_weight
+
+    ctr_loss = (
+        bce_with_logits(centerness, ctr_targets) * posf
+    ).sum() / num_pos_norm
+
+    return {
+        "loss_cls": cls_loss,
+        "loss_reg": reg_loss,
+        "loss_centerness": ctr_loss,
+        "num_pos": num_pos,
+    }

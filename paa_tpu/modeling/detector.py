@@ -52,6 +52,77 @@ class DetectionModel:
     anchor_generator: AnchorGenerator
     box_coder: BoxCoder
     strides: Tuple[int, ...]
+    head_type: str = "paa"
+
+    def loss_fn(self):
+        """Return (loss_callable, loss_config) for this head.
+
+        loss_callable(outputs, gt_boxes, gt_labels, anchors, counts,
+        loss_config, num_shards) -> dict of losses.
+        """
+        if self.head_type == "paa":
+            from .paa_loss import PAALossConfig, paa_loss
+
+            return paa_loss, PAALossConfig.from_cfg(self.cfg)
+        elif self.head_type == "atss":
+            from .atss_loss import ATSSLossConfig, atss_loss
+
+            return atss_loss, ATSSLossConfig.from_cfg(self.cfg)
+        elif self.head_type == "fcos":
+            from .fcos_loss import FCOSLossConfig, fcos_loss
+
+            return fcos_loss, FCOSLossConfig.from_cfg(self.cfg)
+        raise NotImplementedError(self.head_type)
+
+    def postprocess(self, outputs, image_sizes, anchors, level_counts):
+        """Head-appropriate post-processing (shared static-shape engine)."""
+        from .paa_inference import paa_postprocess
+
+        pp = self.postprocess_config()
+        if self.head_type == "fcos":
+            from .fcos_head import decode_ltrb
+
+            reg_scales = (
+                tuple(float(s) for s in self.cfg.MODEL.FCOS.FPN_STRIDES)
+                if self.cfg.MODEL.FCOS.NORM_REG_TARGETS
+                else None
+            )
+            return paa_postprocess(
+                outputs, image_sizes, anchors, level_counts, pp,
+                decode_fn=decode_ltrb, reg_scales=reg_scales,
+            )
+        return paa_postprocess(
+            outputs, image_sizes, anchors, level_counts, pp
+        )
+
+    def postprocess_config(self):
+        from .paa_inference import PostProcessConfig
+
+        if self.head_type == "paa":
+            return PostProcessConfig.from_cfg(self.cfg)
+        elif self.head_type == "fcos":
+            c = self.cfg.MODEL.FCOS
+            return PostProcessConfig(
+                pre_nms_thresh=c.INFERENCE_TH,
+                pre_nms_top_n=c.PRE_NMS_TOP_N,
+                nms_thresh=c.NMS_TH,
+                detections_per_img=self.cfg.TEST.DETECTIONS_PER_IMG,
+                num_classes=c.NUM_CLASSES - 1,
+                score_voting=False,
+            )
+        elif self.head_type == "atss":
+            # ATSS fuses sqrt(cls*centerness) exactly like PAA fuses
+            # sqrt(cls*iou_pred) (atss/inference.py:50-78); no voting.
+            c = self.cfg.MODEL.ATSS
+            return PostProcessConfig(
+                pre_nms_thresh=c.INFERENCE_TH,
+                pre_nms_top_n=c.PRE_NMS_TOP_N,
+                nms_thresh=c.NMS_TH,
+                detections_per_img=self.cfg.TEST.DETECTIONS_PER_IMG,
+                num_classes=c.NUM_CLASSES - 1,
+                score_voting=False,
+            )
+        raise NotImplementedError(self.head_type)
 
     def feature_shapes(self, image_hw):
         """Per-level (H, W) for a padded input (H, W). Requires the padded
@@ -105,10 +176,26 @@ def build_detection_model(cfg, dtype=None) -> DetectionModel:
         head = paa_head_from_cfg(cfg, dtype=dtype)
         anchor_gen = make_anchor_generator_paa(cfg)
         strides = tuple(cfg.MODEL.PAA.ANCHOR_STRIDES)
+        head_type = "paa"
+    elif cfg.MODEL.ATSS_ON:
+        from .atss_head import atss_head_from_cfg
+
+        head = atss_head_from_cfg(cfg, dtype=dtype)
+        anchor_gen = make_anchor_generator_atss(cfg)
+        strides = tuple(cfg.MODEL.ATSS.ANCHOR_STRIDES)
+        head_type = "atss"
+    elif cfg.MODEL.FCOS_ON:
+        from .anchors import LocationGenerator
+        from .fcos_head import fcos_head_from_cfg
+
+        head = fcos_head_from_cfg(cfg, dtype=dtype)
+        anchor_gen = LocationGenerator(cfg.MODEL.FCOS.FPN_STRIDES)
+        strides = tuple(cfg.MODEL.FCOS.FPN_STRIDES)
+        head_type = "fcos"
     else:
         raise NotImplementedError(
-            "only the PAA head is implemented so far; ATSS/FCOS/RetinaNet "
-            "are tracked for later rounds"
+            "PAA/ATSS/FCOS heads are implemented; RetinaNet and the "
+            "classic RPN are tracked for later rounds"
         )
     module = DenseDetector(backbone=backbone, head=head)
     return DetectionModel(
@@ -117,4 +204,5 @@ def build_detection_model(cfg, dtype=None) -> DetectionModel:
         anchor_generator=anchor_gen,
         box_coder=BoxCoder(cfg),
         strides=strides,
+        head_type=head_type,
     )

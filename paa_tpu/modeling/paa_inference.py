@@ -56,12 +56,17 @@ class PostProcessConfig:
         )
 
 
-def _select_level(cls_logits, box_regression, iou_pred, anchors, pp):
+def _select_level(cls_logits, box_regression, iou_pred, anchors, pp,
+                  decode_fn=None, reg_scale=1.0):
     """Single-level candidate selection for one image.
 
     cls_logits: (N, C); box_regression: (N, 4); iou_pred: (N,) or None;
     anchors: (N, 4). Returns (boxes (K,4), scores (K,), labels (K,),
     valid (K,)) with K = min(pre_nms_top_n, N*C).
+
+    ``decode_fn(reg, anchors)`` overrides the box decode (FCOS l/t/r/b);
+    ``reg_scale`` multiplies regression outputs before decoding (FCOS
+    NORM_REG_TARGETS stride scaling done in the torch head at eval).
     """
     n, c = cls_logits.shape
     cls_prob = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
@@ -79,8 +84,10 @@ def _select_level(cls_logits, box_regression, iou_pred, anchors, pp):
     labels = (flat_idx % c + 1).astype(jnp.int32)
     valid = scores > 0.0  # only true candidates survive
 
-    boxes = decode_box(
-        box_regression[anchor_idx].astype(jnp.float32), anchors[anchor_idx]
+    decode = decode_fn or decode_box
+    boxes = decode(
+        box_regression[anchor_idx].astype(jnp.float32) * reg_scale,
+        anchors[anchor_idx],
     )
     return boxes, scores, labels, valid
 
@@ -106,11 +113,12 @@ def _score_vote(kept_boxes, kept_labels, kept_valid,
 
 
 def _postprocess_single(cls_logits, box_regression, iou_pred, image_size,
-                        anchors, level_counts, pp):
+                        anchors, level_counts, pp, decode_fn=None,
+                        reg_scales=None):
     """Full post-processing for ONE image. Level-split is static."""
     boxes_l, scores_l, labels_l, valid_l = [], [], [], []
     start = 0
-    for count in level_counts:
+    for li, count in enumerate(level_counts):
         sl = slice(start, start + count)
         b, s, l, v = _select_level(
             cls_logits[sl],
@@ -118,6 +126,8 @@ def _postprocess_single(cls_logits, box_regression, iou_pred, image_size,
             None if iou_pred is None else iou_pred[sl],
             anchors[sl],
             pp,
+            decode_fn=decode_fn,
+            reg_scale=1.0 if reg_scales is None else reg_scales[li],
         )
         boxes_l.append(b)
         scores_l.append(s)
@@ -154,7 +164,8 @@ def _postprocess_single(cls_logits, box_regression, iou_pred, image_size,
     }
 
 
-def paa_postprocess(outputs, image_sizes, anchors, level_counts, pp):
+def paa_postprocess(outputs, image_sizes, anchors, level_counts, pp,
+                    decode_fn=None, reg_scales=None):
     """Batched post-processing.
 
     Args:
@@ -172,6 +183,8 @@ def paa_postprocess(outputs, image_sizes, anchors, level_counts, pp):
         _postprocess_single,
         level_counts=tuple(level_counts),
         pp=pp,
+        decode_fn=decode_fn,
+        reg_scales=reg_scales,
     )
     return jax.vmap(
         lambda c, b, i, s: fn(c, b, i, s, anchors=anchors)

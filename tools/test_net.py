@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Evaluation CLI.
+
+Mirrors reference tools/test_net.py: evaluate one checkpoint, or watch a
+checkpoint directory (--eval_dir): poll every 5 minutes for new
+checkpoints, evaluate each, track the best AP, optionally keep only the
+best (test_net.py:31-146). The reference's hard apex.amp import quirk is
+deliberately NOT replicated (SURVEY.md flags it as an environment bug).
+"""
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(cfg):
+    import jax
+
+    from paa_tpu.modeling import build_detection_model
+
+    model = build_detection_model(cfg)
+    init_hw = tuple(cfg.TPU.TEST_BUCKETS[0])
+    variables = model.init(jax.random.PRNGKey(0), init_hw)
+    return model, variables
+
+
+def eval_checkpoint(cfg, model, variables, ckpt_path, logger):
+    from paa_tpu.data.build import build_dataset
+    from paa_tpu.engine.inference import inference
+    from paa_tpu.utils.checkpoint import Checkpointer
+
+    if ckpt_path:
+        checkpointer = Checkpointer(
+            os.path.dirname(ckpt_path) or ".", logger=logger
+        )
+        tree, _ = checkpointer.load(
+            ckpt_path,
+            {"params": variables["params"], "opt_state": None},
+        )
+        if tree is not None:
+            variables = {"params": tree["params"]}
+
+    datasets = build_dataset(cfg, cfg.DATASETS.TEST, is_train=False)
+    if not isinstance(datasets, list):
+        datasets = [datasets]
+    all_results = []
+    for name, dataset in zip(cfg.DATASETS.TEST, datasets):
+        output_folder = os.path.join(cfg.OUTPUT_DIR, "inference", name)
+        results = inference(
+            cfg, model, variables, dataset,
+            output_folder=output_folder, logger=logger,
+        )
+        all_results.append(results)
+    return all_results
+
+
+def watch_dir(cfg, model, variables, eval_dir, logger,
+              poll_s=300, give_up_s=6 * 3600, keep_best_only=False):
+    evaluated = set()
+    best_ap, best_ckpt = -1.0, None
+    last_new = time.time()
+    while True:
+        ckpts = sorted(glob.glob(os.path.join(eval_dir, "model_*")))
+        fresh = [c for c in ckpts if c not in evaluated]
+        for ckpt in fresh:
+            last_new = time.time()
+            for attempt in range(3):
+                try:
+                    results = eval_checkpoint(
+                        cfg, model, variables, ckpt, logger
+                    )
+                    break
+                except Exception as e:  # noqa: BLE001
+                    logger.warning(f"eval failed ({e}); retrying in 10s")
+                    time.sleep(10)
+            else:
+                continue
+            evaluated.add(ckpt)
+            ap = results[0].get("AP", -1.0) if results else -1.0
+            if ap > best_ap:
+                best_ap, best_ckpt = ap, ckpt
+                logger.info(f"new best AP {ap:.4f} at {ckpt}")
+            if keep_best_only:
+                for c in list(evaluated):
+                    if c != best_ckpt and os.path.isdir(c):
+                        import shutil
+
+                        shutil.rmtree(c, ignore_errors=True)
+        if time.time() - last_new > give_up_s:
+            logger.info("No new checkpoints for 6h; exiting watcher")
+            return
+        time.sleep(poll_s)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="paa_tpu evaluation")
+    parser.add_argument("--config-file", default="", metavar="FILE")
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--eval_dir", default=None)
+    parser.add_argument("--keep_best_only", action="store_true")
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    from paa_tpu.config import get_cfg
+    from paa_tpu.utils.logger import setup_logger
+
+    cfg = get_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    logger = setup_logger("paa_tpu", cfg.OUTPUT_DIR)
+    model, variables = build(cfg)
+
+    if args.eval_dir:
+        watch_dir(cfg, model, variables, args.eval_dir, logger,
+                  keep_best_only=args.keep_best_only)
+    else:
+        eval_checkpoint(cfg, model, variables, args.ckpt, logger)
+
+
+if __name__ == "__main__":
+    main()
