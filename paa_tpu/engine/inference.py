@@ -88,6 +88,12 @@ def compute_on_dataset(model, variables, loader, pp, logger=None):
 def inference(cfg, model, variables, dataset, output_folder=None,
               logger=None):
     logger = logger or logging.getLogger("paa_tpu.inference")
+    if cfg.TEST.BBOX_AUG.ENABLED:
+        from .bbox_aug import inference_tta
+
+        return inference_tta(
+            cfg, model, variables, dataset, output_folder, logger
+        )
     loader = make_data_loader(cfg, dataset, is_train=False)
     pp = model.postprocess_config()
 

@@ -39,7 +39,11 @@ METRICS = (
 
 def _bbox_iou_xywh(dts, gts, iscrowd):
     """pycocotools maskUtils.iou for bboxes: plain w*h areas, crowd GTs
-    use union = dt area."""
+    use union = dt area. Uses the native C++ kernel when available."""
+    from . import _native
+
+    if len(dts) and len(gts) and _native.available():
+        return _native.bbox_iou_xywh(dts, gts, iscrowd)
     d = np.asarray(dts, dtype=np.float64).reshape(-1, 4)
     g = np.asarray(gts, dtype=np.float64).reshape(-1, 4)
     ious = np.zeros((len(d), len(g)))
@@ -56,6 +60,48 @@ def _bbox_iou_xywh(dts, gts, iscrowd):
         union = da if iscrowd[j] else da + ga - inter
         ious[:, j] = inter / np.maximum(union, 1e-12)
     return ious
+
+
+def _match_img_py(ious, g_ig, g_crowd, dt_out_of_range):
+    """Numpy fallback of the per-image greedy matching (the native C++
+    kernel in csrc/cocoeval.cpp is preferred)."""
+    T = len(IOU_THRS)
+    n_dt, n_gt = ious.shape
+    dtm = np.full((T, n_dt), -1, dtype=np.int64)
+    gtm = np.full((T, n_gt), -1, dtype=np.int64)
+    dt_ig = np.zeros((T, n_dt), dtype=bool)
+    for t, thr in enumerate(IOU_THRS):
+        for di in range(n_dt):
+            best = min(thr, 1 - 1e-10)
+            m = -1
+            for gi in range(n_gt):
+                # already-matched non-crowd GTs are unavailable
+                # (crowd GTs may match many detections)
+                if gtm[t, gi] >= 0 and not g_crowd[gi]:
+                    continue
+                if m > -1 and not g_ig[m] and g_ig[gi]:
+                    break
+                if ious[di, gi] < best:
+                    continue
+                best = ious[di, gi]
+                m = gi
+            if m == -1:
+                dt_ig[t, di] = dt_out_of_range[di]
+                continue
+            dt_ig[t, di] = g_ig[m]
+            dtm[t, di] = m
+            gtm[t, m] = di
+    return dtm, dt_ig
+
+
+def _match_img(ious, g_ig, g_crowd, dt_out_of_range):
+    from . import _native
+
+    if _native.available():
+        return _native.evaluate_img(
+            ious, g_ig, g_crowd, dt_out_of_range, IOU_THRS
+        )
+    return _match_img_py(ious, g_ig, g_crowd, dt_out_of_range)
 
 
 class COCOEvaluator:
@@ -160,39 +206,13 @@ class COCOEvaluator:
                     g_ig_s = g_ig[g_order]
                     g_crowd_s = ev["g_crowd"][g_order]
                     n_dt, n_gt = ious.shape
+                    out_of_rng = (
+                        (ev["dt_area"] < a_lo) | (ev["dt_area"] > a_hi)
+                    )
 
-                    dtm = np.zeros((T, n_dt), dtype=np.int64) - 1
-                    gtm = np.zeros((T, n_gt), dtype=np.int64) - 1
-                    dt_ig = np.zeros((T, n_dt), dtype=bool)
-                    for t, thr in enumerate(IOU_THRS):
-                        for di in range(n_dt):
-                            best = min(thr, 1 - 1e-10)
-                            m = -1
-                            for gi in range(n_gt):
-                                # already-matched non-crowd GTs are
-                                # unavailable (crowd GTs may match many)
-                                if gtm[t, gi] >= 0 and not g_crowd_s[gi]:
-                                    continue
-                                if (
-                                    m > -1
-                                    and not g_ig_s[m]
-                                    and g_ig_s[gi]
-                                ):
-                                    break
-                                if ious[di, gi] < best:
-                                    continue
-                                best = ious[di, gi]
-                                m = gi
-                            if m == -1:
-                                continue
-                            dt_ig[t, di] = g_ig_s[m]
-                            dtm[t, di] = m
-                            gtm[t, m] = di
-                        # unmatched dts outside the area range are ignored
-                        out_of_rng = (
-                            (ev["dt_area"] < a_lo) | (ev["dt_area"] > a_hi)
-                        )
-                        dt_ig[t] |= (dtm[t] == -1) & out_of_rng
+                    dtm, dt_ig = _match_img(
+                        ious, g_ig_s, g_crowd_s, out_of_rng
+                    )
                     img_evals.append(
                         dict(
                             scores=ev["scores"],

@@ -72,6 +72,10 @@ class DetectionModel:
             from .fcos_loss import FCOSLossConfig, fcos_loss
 
             return fcos_loss, FCOSLossConfig.from_cfg(self.cfg)
+        elif self.head_type == "retinanet":
+            from .retinanet_head import RetinaNetLossConfig, retinanet_loss
+
+            return retinanet_loss, RetinaNetLossConfig.from_cfg(self.cfg)
         raise NotImplementedError(self.head_type)
 
     def postprocess(self, outputs, image_sizes, anchors, level_counts):
@@ -102,6 +106,16 @@ class DetectionModel:
             return PostProcessConfig.from_cfg(self.cfg)
         elif self.head_type == "fcos":
             c = self.cfg.MODEL.FCOS
+            return PostProcessConfig(
+                pre_nms_thresh=c.INFERENCE_TH,
+                pre_nms_top_n=c.PRE_NMS_TOP_N,
+                nms_thresh=c.NMS_TH,
+                detections_per_img=self.cfg.TEST.DETECTIONS_PER_IMG,
+                num_classes=c.NUM_CLASSES - 1,
+                score_voting=False,
+            )
+        elif self.head_type == "retinanet":
+            c = self.cfg.MODEL.RETINANET
             return PostProcessConfig(
                 pre_nms_thresh=c.INFERENCE_TH,
                 pre_nms_top_n=c.PRE_NMS_TOP_N,
@@ -146,8 +160,19 @@ class DetectionModel:
 
 def build_backbone(cfg, dtype=jnp.float32):
     body = cfg.MODEL.BACKBONE.CONV_BODY
-    resnet = resnet_from_cfg(cfg, dtype=dtype)
     out_channels = cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS
+    if body == "MNV2-FPN-RETINANET":
+        from .mobilenet import MobileNetV2
+
+        return ResNetFPNBackbone(
+            resnet=MobileNetV2(dtype=dtype),  # generic body slot
+            out_channels=out_channels,
+            skip_c2=True,
+            use_p6p7=True,
+            p6p7_from_c5=False,
+            dtype=dtype,
+        )
+    resnet = resnet_from_cfg(cfg, dtype=dtype)
     if body.endswith("FPN-RETINANET"):
         return ResNetFPNBackbone(
             resnet=resnet,
@@ -192,6 +217,13 @@ def build_detection_model(cfg, dtype=None) -> DetectionModel:
         anchor_gen = LocationGenerator(cfg.MODEL.FCOS.FPN_STRIDES)
         strides = tuple(cfg.MODEL.FCOS.FPN_STRIDES)
         head_type = "fcos"
+    elif cfg.MODEL.RETINANET_ON:
+        from .retinanet_head import retinanet_head_from_cfg
+
+        head = retinanet_head_from_cfg(cfg, dtype=dtype)
+        anchor_gen = make_anchor_generator_retinanet(cfg)
+        strides = tuple(cfg.MODEL.RETINANET.ANCHOR_STRIDES)
+        head_type = "retinanet"
     else:
         raise NotImplementedError(
             "PAA/ATSS/FCOS heads are implemented; RetinaNet and the "
