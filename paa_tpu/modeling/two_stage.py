@@ -1,0 +1,203 @@
+"""Faster R-CNN two-stage assembly.
+
+Re-designs the reference's GeneralizedRCNN two-stage path
+(modeling/detector/generalized_rcnn.py + rpn + roi_heads/box_head):
+R-50-FPN backbone (P2..P6 via LastLevelMaxPool), classic RPN over 5
+levels (anchor sizes 32..512 at strides 4..64, 3 ratios), fixed-capacity
+proposal selection, and the FPN2MLP box head pooling from P2..P5.
+
+Everything is static-shape and jittable end-to-end: the RPN's NMS runs
+as bounded pick-max scans, proposals are (B, K, 4) + masks, and the ROI
+batch is a fixed 512 rois/image drawn by random-priority sampling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .anchors import AnchorGenerator
+from .fpn import ResNetFPNBackbone
+from .resnet import resnet_from_cfg
+from .roi_box_head import (
+    FPN2MLPBoxHead,
+    ROIBoxConfig,
+    roi_box_loss,
+    roi_box_postprocess,
+    subsample_proposals,
+)
+from .rpn import RPNConfig, RPNHead, rpn_loss, select_proposals
+
+
+class FasterRCNN(nn.Module):
+    backbone: nn.Module
+    rpn_head: nn.Module
+    box_head: nn.Module
+
+    def backbone_rpn(self, images):
+        features = self.backbone(images)
+        rpn_out = self.rpn_head(features)
+        return features, rpn_out
+
+    def box(self, features, rois, roi_batch_idx):
+        # the pooler uses the first 4 pyramid levels (P2..P5)
+        return self.box_head(list(features)[:4], rois, roi_batch_idx)
+
+    def __call__(self, images, rois, roi_batch_idx):
+        features, rpn_out = self.backbone_rpn(images)
+        cls_logits, box_deltas = self.box(features, rois, roi_batch_idx)
+        return rpn_out, cls_logits, box_deltas
+
+
+@dataclass
+class TwoStageModel:
+    cfg: Any
+    module: FasterRCNN
+    anchor_generator: AnchorGenerator
+    strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+
+    def feature_shapes(self, image_hw):
+        import math
+
+        h, w = image_hw
+        return [
+            (int(math.ceil(h / s)), int(math.ceil(w / s)))
+            for s in self.strides
+        ]
+
+    def anchors_for(self, image_hw):
+        return self.anchor_generator(self.feature_shapes(image_hw))
+
+    def init(self, rng, image_hw, batch_size=1):
+        images = jnp.zeros((batch_size, *image_hw, 3), jnp.float32)
+        rois = jnp.zeros((4, 4), jnp.float32)
+        bidx = jnp.zeros((4,), jnp.int32)
+        return self.module.init(rng, images, rois, bidx)
+
+
+def build_faster_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
+    assert "FPN" in cfg.MODEL.BACKBONE.CONV_BODY, (
+        "the two-stage path needs an FPN body, e.g. R-50-FPN "
+        f"(got {cfg.MODEL.BACKBONE.CONV_BODY})"
+    )
+    resnet = resnet_from_cfg(cfg, dtype=dtype)
+    backbone = ResNetFPNBackbone(
+        resnet=resnet,
+        out_channels=cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS,
+        skip_c2=False,
+        use_p6p7=False,  # P6 via max-pool (LastLevelMaxPool)
+        dtype=dtype,
+    )
+    rpn_head = RPNHead(
+        num_anchors=len(cfg.MODEL.RPN.ASPECT_RATIOS),
+        in_channels=cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS,
+        dtype=dtype,
+    )
+    box_head = FPN2MLPBoxHead(
+        num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
+        mlp_dim=cfg.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM,
+        resolution=7,
+        dtype=dtype,
+    )
+    anchor_gen = AnchorGenerator(
+        sizes=cfg.MODEL.RPN.ANCHOR_SIZES,
+        aspect_ratios=cfg.MODEL.RPN.ASPECT_RATIOS,
+        strides=(4, 8, 16, 32, 64),
+    )
+    module = FasterRCNN(
+        backbone=backbone, rpn_head=rpn_head, box_head=box_head
+    )
+    return TwoStageModel(
+        cfg=cfg, module=module, anchor_generator=anchor_gen
+    )
+
+
+def faster_rcnn_train_step_fns(model: TwoStageModel, image_hw,
+                               num_shards=1):
+    """Builds the jittable train loss for one bucket shape."""
+    cfg = model.cfg
+    anchors, counts = model.anchors_for(image_hw)
+    anchors_j = jnp.asarray(anchors, jnp.float32)
+    rc = RPNConfig.from_cfg(cfg, is_train=True)
+    bc = ROIBoxConfig.from_cfg(cfg)
+
+    def loss_fn(variables, images, gt_boxes, gt_labels, image_sizes, rng):
+        features, rpn_out = model.module.apply(
+            variables, images, method=FasterRCNN.backbone_rpn
+        )
+        losses = rpn_loss(
+            rpn_out, gt_boxes, gt_labels, anchors_j, counts, rc,
+            rng, num_shards,
+        )
+        proposals, p_scores, p_valid = jax.tree_util.tree_map(
+            jax.lax.stop_gradient,
+            select_proposals(
+                rpn_out, image_sizes, anchors_j, counts, rc
+            ),
+        )
+        bsz = images.shape[0]
+        rngs = jax.random.split(jax.random.fold_in(rng, 1), bsz)
+        rois, roi_labels, reg_targets, roi_valid = jax.vmap(
+            lambda p, v, gb, gl, r: subsample_proposals(
+                p, v, gb, gl, bc, r
+            )
+        )(proposals, p_valid, gt_boxes, gt_labels, rngs)
+
+        s = rois.shape[1]
+        flat_rois = rois.reshape(-1, 4)
+        batch_idx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), s)
+        cls_logits, box_deltas = model.module.apply(
+            variables, features, flat_rois, batch_idx,
+            method=FasterRCNN.box,
+        )
+        box_losses = roi_box_loss(
+            cls_logits, box_deltas,
+            roi_labels.reshape(-1), reg_targets.reshape(-1, 4),
+            roi_valid.reshape(-1),
+        )
+        losses.update(box_losses)
+        return losses
+
+    return loss_fn
+
+
+def faster_rcnn_eval_fn(model: TwoStageModel, image_hw):
+    cfg = model.cfg
+    anchors, counts = model.anchors_for(image_hw)
+    anchors_j = jnp.asarray(anchors, jnp.float32)
+    rc = RPNConfig.from_cfg(cfg, is_train=False)
+    bc = ROIBoxConfig.from_cfg(cfg)
+
+    def eval_fn(variables, images, image_sizes):
+        features, rpn_out = model.module.apply(
+            variables, images, method=FasterRCNN.backbone_rpn
+        )
+        proposals, p_scores, p_valid = select_proposals(
+            rpn_out, image_sizes, anchors_j, counts, rc
+        )
+        bsz, k = proposals.shape[:2]
+        flat_rois = proposals.reshape(-1, 4)
+        batch_idx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), k)
+        cls_logits, box_deltas = model.module.apply(
+            variables, features, flat_rois, batch_idx,
+            method=FasterRCNN.box,
+        )
+        c = cls_logits.shape[-1]
+        return jax.vmap(
+            lambda cl, bd, r, v, sz: roi_box_postprocess(
+                cl, bd, r, v, sz, bc
+            )
+        )(
+            cls_logits.reshape(bsz, k, c),
+            box_deltas.reshape(bsz, k, c, 4),
+            proposals,
+            p_valid,
+            image_sizes,
+        )
+
+    return eval_fn
