@@ -132,6 +132,14 @@ def inference(cfg, model, variables, dataset, output_folder=None,
     results = evaluator.evaluate(detections)
     logger.info("\n" + format_results(results))
 
+    if cfg.TEST.EXPECTED_RESULTS:
+        from ..evaluation.coco_eval import check_expected_results
+
+        check_expected_results(
+            results, cfg.TEST.EXPECTED_RESULTS,
+            cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL, logger,
+        )
+
     if output_folder:
         import json
         import os

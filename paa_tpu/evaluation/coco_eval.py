@@ -306,6 +306,29 @@ class COCOEvaluator:
         }
 
 
+def check_expected_results(results, expected_results, sigma_tol,
+                           logger=None):
+    """Regression assertion (reference coco_eval.py:403-422): each entry
+    ('bbox', metric, mean, std) must satisfy |actual - mean| <
+    sigma_tol * std. Raises AssertionError otherwise (the
+    quick_schedules configs rely on this)."""
+    for task, metric, mean, std in expected_results:
+        if task != "bbox":
+            continue
+        actual = results[metric]
+        lo = mean - sigma_tol * std
+        hi = mean + sigma_tol * std
+        ok = lo < actual < hi
+        msg = (
+            f"{task}/{metric} = {actual:.4f}; expected {mean:.4f} "
+            f"+/- {sigma_tol}*{std:.4f} -> ({lo:.4f}, {hi:.4f}): "
+            f"{'OK' if ok else 'FAILED'}"
+        )
+        if logger:
+            (logger.info if ok else logger.error)(msg)
+        assert ok, msg
+
+
 def format_results(results):
     """COCOResults-style table (reference coco_eval.py:358-402)."""
     lines = ["Task: bbox"]
