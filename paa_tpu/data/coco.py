@@ -31,6 +31,7 @@ class ImageRecord:
     height: int
     boxes: np.ndarray  # (n, 4) float32 xyxy
     labels: np.ndarray  # (n,) int32 contiguous 1..C
+    polygons: Optional[list] = None  # per-instance COCO polygon lists
 
 
 def _xywh_to_xyxy(boxes):
@@ -43,13 +44,14 @@ def _xywh_to_xyxy(boxes):
 
 
 def _clip_remove_empty(boxes, labels, width, height):
-    """clip_to_image(remove_empty=True) (bounding_box.py:215-227)."""
+    """clip_to_image(remove_empty=True) (bounding_box.py:215-227).
+    Returns the keep mask so parallel fields (polygons) can follow."""
     boxes[:, 0] = np.clip(boxes[:, 0], 0, width - 1)
     boxes[:, 1] = np.clip(boxes[:, 1], 0, height - 1)
     boxes[:, 2] = np.clip(boxes[:, 2], 0, width - 1)
     boxes[:, 3] = np.clip(boxes[:, 3], 0, height - 1)
     keep = (boxes[:, 3] > boxes[:, 1]) & (boxes[:, 2] > boxes[:, 0])
-    return boxes[keep], labels[keep]
+    return boxes[keep], labels[keep], keep
 
 
 def _has_valid_annotation(annos):
@@ -63,8 +65,10 @@ def _has_valid_annotation(annos):
 
 class COCODataset:
     def __init__(self, ann_file, root,
-                 remove_images_without_annotations=True):
+                 remove_images_without_annotations=True,
+                 with_masks=False):
         self.root = root
+        self.with_masks = with_masks
         with open(ann_file) as f:
             data = json.load(f)
 
@@ -112,9 +116,17 @@ class COCODataset:
                 boxes = np.zeros((0, 4), dtype=np.float32)
                 labels = np.zeros((0,), dtype=np.int32)
             boxes = _xywh_to_xyxy(boxes)
-            boxes, labels = _clip_remove_empty(
+            boxes, labels, keep = _clip_remove_empty(
                 boxes, labels, img["width"], img["height"]
             )
+            polygons = None
+            if with_masks:
+                polys_all = [
+                    a.get("segmentation") or [] for a in non_crowd
+                ]
+                polygons = [
+                    p for p, k in zip(polys_all, keep) if k
+                ]
             self.records.append(
                 ImageRecord(
                     id=img_id,
@@ -123,6 +135,7 @@ class COCODataset:
                     height=img["height"],
                     boxes=boxes,
                     labels=labels,
+                    polygons=polygons,
                 )
             )
 

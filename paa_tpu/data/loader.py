@@ -64,7 +64,7 @@ def pad_to_bucket(image, bucket_hw):
     return out
 
 
-def make_batch(samples, bucket_hw, max_gt):
+def make_batch(samples, bucket_hw, max_gt, mask_size=112):
     """Assemble transformed samples into fixed-shape arrays.
 
     samples: list of dicts with image (float32 HWC), boxes, labels,
@@ -79,6 +79,11 @@ def make_batch(samples, bucket_hw, max_gt):
     image_sizes = np.zeros((bsz, 2), dtype=np.float32)
     orig_sizes = np.zeros((bsz, 2), dtype=np.float32)
     image_ids = np.full((bsz,), -1, dtype=np.int64)
+    with_masks = any(s.get("masks") is not None for s in samples)
+    gt_masks = (
+        np.zeros((bsz, max_gt, mask_size, mask_size), dtype=np.uint8)
+        if with_masks else None
+    )
 
     for i, s in enumerate(samples):
         img = s["image"]
@@ -92,6 +97,18 @@ def make_batch(samples, bucket_hw, max_gt):
         if n:
             gt_boxes[i, :n] = boxes[:n]
             gt_labels[i, :n] = labels[:n]
+            if gt_masks is not None and s.get("masks") is not None:
+                gt_masks[i, :n] = s["masks"][:n]
+    if gt_masks is not None:
+        return {
+            "images": images,
+            "gt_boxes": gt_boxes,
+            "gt_labels": gt_labels,
+            "gt_masks": gt_masks,
+            "image_sizes": image_sizes,
+            "orig_sizes": orig_sizes,
+            "image_ids": image_ids,
+        }
     return {
         "images": images,
         "gt_boxes": gt_boxes,
@@ -130,11 +147,24 @@ class DetectionLoader:
         r = self.dataset.records[index]
         image = self.dataset.load_image(index)
         boxes, labels = r.boxes.copy(), r.labels.copy()
-        image, boxes = self.transform(image, boxes)
+        masks = None
+        if getattr(r, "polygons", None) is not None:
+            from ..structures.masks import rasterize_instances
+
+            # box-normalized masks: resize-invariant, flipped by the
+            # transform alongside the image
+            masks = rasterize_instances(
+                r.polygons, r.boxes, max(len(labels), 1)
+            )[: len(labels)]
+        if masks is not None:
+            image, boxes, masks = self.transform(image, boxes, masks)
+        else:
+            image, boxes = self.transform(image, boxes)
         return {
             "image": image,
             "boxes": boxes if boxes is not None else np.zeros((0, 4)),
             "labels": labels,
+            "masks": masks,
             "image_id": r.id,
             "orig_size": (r.height, r.width),
         }

@@ -90,15 +90,26 @@ class TrainTransform:
         self.pixel_std = pixel_std
         self.flip_prob = flip_prob
         self.rng = random.Random(seed)
+        self._lock = __import__("threading").Lock()
 
-    def __call__(self, image, boxes):
+    def __call__(self, image, boxes, masks=None):
+        with self._lock:  # the shared RNG is used from loader threads
+            size_draw = self.rng.random()
+            flip_draw = self.rng.random()
         image, boxes = resize_image_and_boxes(
-            image, boxes, self.min_sizes, self.max_size, rng=self.rng
+            image, boxes,
+            self.min_sizes[int(size_draw * len(self.min_sizes))],
+            self.max_size,
         )
-        if self.rng.random() < self.flip_prob:
+        if flip_draw < self.flip_prob:
             image, boxes = hflip_image_and_boxes(image, boxes)
+            if masks is not None:
+                # box-normalized masks flip with the image
+                masks = np.ascontiguousarray(masks[:, :, ::-1])
         image = normalize_image(image, self.pixel_mean, self.pixel_std)
-        return image, boxes
+        if masks is None:
+            return image, boxes
+        return image, boxes, masks
 
 
 class EvalTransform:
@@ -108,12 +119,14 @@ class EvalTransform:
         self.pixel_mean = pixel_mean
         self.pixel_std = pixel_std
 
-    def __call__(self, image, boxes=None):
+    def __call__(self, image, boxes=None, masks=None):
         image, boxes = resize_image_and_boxes(
             image, boxes, self.min_size, self.max_size
         )
         image = normalize_image(image, self.pixel_mean, self.pixel_std)
-        return image, boxes
+        if masks is None:
+            return image, boxes
+        return image, boxes, masks
 
 
 def build_transforms(cfg, is_train=True, seed=None):

@@ -148,9 +148,11 @@ def subsample_proposals(proposals, proposal_valid, gt_boxes, gt_labels,
     roi_valid = sel[idx]
     rois = proposals[idx]
     roi_labels = jnp.where(roi_valid, labels[idx], -1)
-    matched_boxes = gt_boxes[matched_idx[idx]]
+    roi_gt_idx = matched_idx[idx]
+    matched_boxes = gt_boxes[roi_gt_idx]
     reg_targets = encode_box(matched_boxes, rois, weights=_REG_WEIGHTS)
-    return rois, roi_labels.astype(jnp.int32), reg_targets, roi_valid
+    return (rois, roi_labels.astype(jnp.int32), reg_targets, roi_valid,
+            roi_gt_idx, matched_boxes)
 
 
 def roi_box_loss(cls_logits, box_deltas, roi_labels, reg_targets,

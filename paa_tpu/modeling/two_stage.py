@@ -35,9 +35,13 @@ from .rpn import RPNConfig, RPNHead, rpn_loss, select_proposals
 
 
 class FasterRCNN(nn.Module):
+    """Also hosts the optional mask branch (Mask R-CNN when
+    ``mask_head`` is set, cfg.MODEL.MASK_ON)."""
+
     backbone: nn.Module
     rpn_head: nn.Module
     box_head: nn.Module
+    mask_head: nn.Module = None
 
     def backbone_rpn(self, images):
         features = self.backbone(images)
@@ -48,9 +52,15 @@ class FasterRCNN(nn.Module):
         # the pooler uses the first 4 pyramid levels (P2..P5)
         return self.box_head(list(features)[:4], rois, roi_batch_idx)
 
+    def mask(self, features, rois, roi_batch_idx):
+        return self.mask_head(list(features)[:4], rois, roi_batch_idx)
+
     def __call__(self, images, rois, roi_batch_idx):
         features, rpn_out = self.backbone_rpn(images)
         cls_logits, box_deltas = self.box(features, rois, roi_batch_idx)
+        if self.mask_head is not None:
+            mask_logits = self.mask(features, rois, roi_batch_idx)
+            return rpn_out, cls_logits, box_deltas, mask_logits
         return rpn_out, cls_logits, box_deltas
 
 
@@ -109,8 +119,17 @@ def build_faster_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
         aspect_ratios=cfg.MODEL.RPN.ASPECT_RATIOS,
         strides=(4, 8, 16, 32, 64),
     )
+    mask_head = None
+    if cfg.MODEL.MASK_ON:
+        from .roi_mask_head import MaskHead
+
+        mask_head = MaskHead(
+            num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES - 1,
+            dtype=dtype,
+        )
     module = FasterRCNN(
-        backbone=backbone, rpn_head=rpn_head, box_head=box_head
+        backbone=backbone, rpn_head=rpn_head, box_head=box_head,
+        mask_head=mask_head,
     )
     return TwoStageModel(
         cfg=cfg, module=module, anchor_generator=anchor_gen
@@ -126,7 +145,10 @@ def faster_rcnn_train_step_fns(model: TwoStageModel, image_hw,
     rc = RPNConfig.from_cfg(cfg, is_train=True)
     bc = ROIBoxConfig.from_cfg(cfg)
 
-    def loss_fn(variables, images, gt_boxes, gt_labels, image_sizes, rng):
+    mask_on = cfg.MODEL.MASK_ON
+
+    def loss_fn(variables, images, gt_boxes, gt_labels, image_sizes, rng,
+                gt_masks=None):
         features, rpn_out = model.module.apply(
             variables, images, method=FasterRCNN.backbone_rpn
         )
@@ -142,7 +164,8 @@ def faster_rcnn_train_step_fns(model: TwoStageModel, image_hw,
         )
         bsz = images.shape[0]
         rngs = jax.random.split(jax.random.fold_in(rng, 1), bsz)
-        rois, roi_labels, reg_targets, roi_valid = jax.vmap(
+        (rois, roi_labels, reg_targets, roi_valid, roi_gt_idx,
+         roi_gt_boxes) = jax.vmap(
             lambda p, v, gb, gl, r: subsample_proposals(
                 p, v, gb, gl, bc, r
             )
@@ -161,6 +184,28 @@ def faster_rcnn_train_step_fns(model: TwoStageModel, image_hw,
             roi_valid.reshape(-1),
         )
         losses.update(box_losses)
+
+        if mask_on and gt_masks is not None:
+            from .roi_mask_head import crop_gt_masks_for_rois, mask_loss
+
+            mask_logits = model.module.apply(
+                variables, features, flat_rois, batch_idx,
+                method=FasterRCNN.mask,
+            )
+            # matched gt mask per roi, cropped to the roi window
+            roi_masks = jax.vmap(lambda gm, gi: gm[gi])(
+                gt_masks.astype(jnp.float32), roi_gt_idx
+            ).reshape(-1, *gt_masks.shape[-2:])
+            targets = crop_gt_masks_for_rois(
+                roi_masks, roi_gt_boxes.reshape(-1, 4), flat_rois,
+                out_size=mask_logits.shape[1],
+            )
+            losses.update(
+                mask_loss(
+                    mask_logits, roi_labels.reshape(-1), targets,
+                    roi_valid.reshape(-1),
+                )
+            )
         return losses
 
     return loss_fn

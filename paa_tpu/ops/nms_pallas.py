@@ -1,0 +1,123 @@
+"""Pallas TPU kernel: fused greedy (multi-label) NMS.
+
+The XLA formulation in ops/nms.py runs ``max_out`` scan iterations, each
+a separate HLO loop step (argmax + IoU row + masked update) that
+round-trips VMEM<->vector registers under XLA's scheduling. This kernel
+keeps boxes/scores/labels resident in VMEM for the whole suppression
+loop: one pallas_call does all ``max_out`` pick-the-max/suppress
+iterations — the entire post-NMS selection is a single fused kernel.
+
+Candidate counts are padded to a lane multiple (128) by the wrapper.
+Semantics match ops/nms.nms exactly (same +1 IoU convention, label
+gating, validity handling); equivalence is tested in interpret mode on
+CPU and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+_NEG_INF = -1e30
+
+
+def _nms_kernel(boxes_ref, scores_ref, labels_ref, thresh_ref,
+                keep_idx_ref, keep_scores_ref, keep_valid_ref,
+                *, max_out, class_aware):
+    x1 = boxes_ref[0, :]
+    y1 = boxes_ref[1, :]
+    x2 = boxes_ref[2, :]
+    y2 = boxes_ref[3, :]
+    labels = labels_ref[0, :]
+    thresh = thresh_ref[0]
+    n = x1.shape[0]
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+
+    def body(i, scores):
+        best_score = jnp.max(scores)
+        # first index achieving the max
+        is_best = scores == best_score
+        idx = jnp.min(jnp.where(is_best, col_ids, n))
+        idx = jnp.minimum(idx, n - 1)
+        valid = best_score > _NEG_INF / 2
+
+        bx1 = x1[idx]
+        by1 = y1[idx]
+        bx2 = x2[idx]
+        by2 = y2[idx]
+        barea = area[idx]
+        blabel = labels[idx]
+
+        lt_x = jnp.maximum(bx1, x1)
+        lt_y = jnp.maximum(by1, y1)
+        rb_x = jnp.minimum(bx2, x2)
+        rb_y = jnp.minimum(by2, y2)
+        w = jnp.maximum(rb_x - lt_x + 1.0, 0.0)
+        h = jnp.maximum(rb_y - lt_y + 1.0, 0.0)
+        inter = w * h
+        iou = inter / (barea + area - inter)
+        suppress = iou > thresh
+        if class_aware:
+            suppress = suppress & (labels == blabel)
+        suppress = suppress | (col_ids == idx)
+
+        keep_idx_ref[0, i] = idx
+        keep_scores_ref[0, i] = best_score
+        keep_valid_ref[0, i] = valid.astype(jnp.int32)
+        return jnp.where(suppress & valid, _NEG_INF, scores)
+
+    jax.lax.fori_loop(0, max_out, body, scores_ref[0, :])
+
+
+@partial(jax.jit, static_argnames=("max_out", "class_aware"))
+def nms_pallas(boxes, scores, labels, valid, iou_threshold, max_out,
+               class_aware=True):
+    """Drop-in replacement for ops.nms.nms (same signature/returns)."""
+    n = boxes.shape[0]
+    pad = (-n) % 128
+    if pad:
+        boxes = jnp.concatenate(
+            [boxes, jnp.zeros((pad, 4), boxes.dtype)], axis=0
+        )
+        scores = jnp.concatenate(
+            [scores, jnp.zeros((pad,), scores.dtype)], axis=0
+        )
+        labels = jnp.concatenate(
+            [labels, jnp.full((pad,), -1, labels.dtype)], axis=0
+        )
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((pad,), bool)], axis=0
+        )
+    npad = n + pad
+
+    masked_scores = jnp.where(
+        valid, scores.astype(jnp.float32), _NEG_INF
+    )
+    out_pad = -(-max_out // 128) * 128
+
+    keep_idx, keep_scores, keep_valid = pl.pallas_call(
+        partial(_nms_kernel, max_out=max_out, class_aware=class_aware),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, out_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, out_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, out_pad), jnp.int32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        jnp.stack(
+            [boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]]
+        ).astype(jnp.float32),
+        masked_scores[None],
+        labels.astype(jnp.int32)[None],
+        jnp.asarray([iou_threshold], jnp.float32),
+    )
+    return (
+        keep_idx[0, :max_out],
+        keep_scores[0, :max_out],
+        keep_valid[0, :max_out].astype(bool),
+    )

@@ -113,7 +113,7 @@ def test_subsample_includes_gt_and_labels():
     p_valid = jnp.asarray([True, True, True])
     gt_boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 0, 0]], jnp.float32)
     gt_labels = jnp.asarray([3, 0], jnp.int32)
-    rois, labels, reg_t, valid = subsample_proposals(
+    rois, labels, reg_t, valid, gt_idx, gt_b = subsample_proposals(
         proposals, p_valid, gt_boxes, gt_labels, bc, rng
     )
     assert rois.shape == (16, 4)
