@@ -47,7 +47,7 @@ def main():
 
     model = build_detection_model(cfg)
     hw = (800, 1344)
-    batch = 4
+    batch = 8
 
     variables = model.init(jax.random.PRNGKey(0), hw)
     anchors, counts = model.anchors_for(hw)

@@ -102,7 +102,17 @@ def make_train_step(apply_fn, anchors, level_counts, loss_cfg: PAALossConfig,
 
 
 def jit_train_step(train_step, mesh):
-    """Jit with data-sharded batch and replicated state over ``mesh``."""
+    """Jit with data-sharded batch and replicated state over ``mesh``.
+
+    Single-device meshes use plain jit + donation: sharding annotations
+    on a 1-device mesh route dispatch through a path that is ~100x
+    slower on the experimental axon TPU platform (measured 12.2 s/step
+    vs 90 ms/step for the identical program), and they are semantically
+    a no-op there anyway.
+    """
+    if mesh.devices.size == 1:
+        return jax.jit(train_step, donate_argnums=(0,))
+
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     batch_sh = NamedSharding(mesh, P("data"))

@@ -61,7 +61,10 @@ def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    batch_sharding = NamedSharding(mesh, P("data"))
+    # see jit_train_step: avoid sharding annotations on 1-device meshes
+    batch_sharding = (
+        NamedSharding(mesh, P("data")) if mesh.devices.size > 1 else None
+    )
 
     start_time = time.time()
     end = time.time()
@@ -74,7 +77,11 @@ def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
         hw = batch["images"].shape[1:3]
         step_fn = get_step(hw)
         device_batch = {
-            k: jax.device_put(batch[k], batch_sharding)
+            k: (
+                jax.device_put(batch[k], batch_sharding)
+                if batch_sharding is not None
+                else jnp.asarray(batch[k])
+            )
             for k in ("images", "gt_boxes", "gt_labels")
         }
         state, metrics = step_fn(state, device_batch)

@@ -84,13 +84,16 @@ def atss_assign(gt_boxes, gt_labels, anchors, level_counts, topk):
         + (acy[None, :, None] - gcy[:, None, :]) ** 2
     )  # (B, N, G)
 
-    # per-level topk nearest anchors per gt
+    # per-level topk nearest anchors per gt (k argmin passes — see
+    # paa_loss.bottom_k_iterative for why not lax.top_k)
+    from .paa_loss import bottom_k_iterative
+
     cand_chunks = []
     start = 0
     for count in level_counts:
         d = dist[:, start:start + count, :]  # (B, n_l, G)
         k = min(topk, count)
-        _, idx = jax.lax.top_k(-d.transpose(0, 2, 1), k)  # (B, G, k)
+        _, idx = bottom_k_iterative(d.transpose(0, 2, 1), k)  # (B, G, k)
         cand_chunks.append(idx + start)
         start += count
     cand_idx = jnp.concatenate(cand_chunks, axis=-1)  # (B, G, K)

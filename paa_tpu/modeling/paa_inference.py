@@ -27,7 +27,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops.nms import nms
+from ..ops.nms import nms_auto as nms
 from ..structures.boxes import box_iou, clip_to_image
 from .box_coder import decode_box
 

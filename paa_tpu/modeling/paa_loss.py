@@ -112,6 +112,27 @@ def bce_with_logits(logits, targets):
     )
 
 
+def bottom_k_iterative(x, k):
+    """Exact smallest-k along the last axis via k argmin/mask passes.
+
+    XLA lowers lax.top_k to a FULL SORT of the last axis — for the
+    (B, G, N_level) candidate tensors that is catastrophically slow on
+    TPU (seconds per train step). k passes of argmin+mask are exact and
+    bandwidth-bound instead. Returns (values, indices) like
+    lax.top_k(-x, k) negated, ascending by value.
+    """
+    n = x.shape[-1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmin(x, axis=-1).astype(jnp.int32)
+        v = jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i)
+        x = jnp.where(iota == i[..., None], jnp.inf, x)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def _select_candidates(combined_loss, matched_idx, iou_labels,
                        level_counts, num_gt, topk):
     """Per (image, GT, level) top-k lowest-loss candidate anchors
@@ -136,7 +157,7 @@ def _select_candidates(combined_loss, matched_idx, iou_labels,
         )  # (B, G, n)
         masked = jnp.where(eligible, loss_l[:, None, :], INF)
         k = min(topk, count)
-        neg_top, idx = jax.lax.top_k(-masked, k)  # lowest loss first
+        _, idx = bottom_k_iterative(masked, k)  # lowest loss first
         valid = jnp.take_along_axis(eligible, idx, axis=-1)
         idx_chunks.append((idx + start).astype(jnp.int32))
         valid_chunks.append(valid)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.nms import nms
+from ..ops.nms import nms_auto as nms
 from ..ops.roi_align import multilevel_roi_align
 from ..structures.boxes import box_iou, clip_to_image
 from .box_coder import decode_box, encode_box

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.nms import nms
+from ..ops.nms import nms_auto as nms
 from ..structures.boxes import box_iou, clip_to_image
 from .box_coder import decode_box, encode_box
 from .layers import conv, head_normal_init

@@ -37,8 +37,11 @@ def _nms_kernel(boxes_ref, scores_ref, labels_ref, thresh_ref,
     n = x1.shape[0]
     area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+    m = keep_idx_ref.shape[1]
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)[0]
 
-    def body(i, scores):
+    def body(i, carry):
+        scores, out_idx, out_scores, out_valid = carry
         best_score = jnp.max(scores)
         # first index achieving the max
         is_best = scores == best_score
@@ -46,12 +49,15 @@ def _nms_kernel(boxes_ref, scores_ref, labels_ref, thresh_ref,
         idx = jnp.minimum(idx, n - 1)
         valid = best_score > _NEG_INF / 2
 
-        bx1 = x1[idx]
-        by1 = y1[idx]
-        bx2 = x2[idx]
-        by2 = y2[idx]
-        barea = area[idx]
-        blabel = labels[idx]
+        # Mosaic has no dynamic scalar gather from vectors: extract the
+        # picked box via masked reductions instead.
+        sel = col_ids == idx
+        bx1 = jnp.sum(jnp.where(sel, x1, 0.0))
+        by1 = jnp.sum(jnp.where(sel, y1, 0.0))
+        bx2 = jnp.sum(jnp.where(sel, x2, 0.0))
+        by2 = jnp.sum(jnp.where(sel, y2, 0.0))
+        barea = jnp.sum(jnp.where(sel, area, 0.0))
+        blabel = jnp.sum(jnp.where(sel, labels, 0))
 
         lt_x = jnp.maximum(bx1, x1)
         lt_y = jnp.maximum(by1, y1)
@@ -66,12 +72,27 @@ def _nms_kernel(boxes_ref, scores_ref, labels_ref, thresh_ref,
             suppress = suppress & (labels == blabel)
         suppress = suppress | (col_ids == idx)
 
-        keep_idx_ref[0, i] = idx
-        keep_scores_ref[0, i] = best_score
-        keep_valid_ref[0, i] = valid.astype(jnp.int32)
-        return jnp.where(suppress & valid, _NEG_INF, scores)
+        # Mosaic can't store scalars at dynamic positions: update the
+        # output vectors with a one-hot select instead.
+        slot = out_cols == i
+        out_idx = jnp.where(slot, idx, out_idx)
+        out_scores = jnp.where(slot, best_score, out_scores)
+        out_valid = jnp.where(slot, valid.astype(jnp.int32), out_valid)
+        new_scores = jnp.where(suppress & valid, _NEG_INF, scores)
+        return new_scores, out_idx, out_scores, out_valid
 
-    jax.lax.fori_loop(0, max_out, body, scores_ref[0, :])
+    init = (
+        scores_ref[0, :],
+        jnp.zeros((m,), jnp.int32),
+        jnp.full((m,), _NEG_INF, jnp.float32),
+        jnp.zeros((m,), jnp.int32),
+    )
+    _, out_idx, out_scores, out_valid = jax.lax.fori_loop(
+        0, max_out, body, init
+    )
+    keep_idx_ref[0, :] = out_idx
+    keep_scores_ref[0, :] = out_scores
+    keep_valid_ref[0, :] = out_valid
 
 
 @partial(jax.jit, static_argnames=("max_out", "class_aware"))
