@@ -141,6 +141,56 @@ def atss_assign(gt_boxes, gt_labels, anchors, level_counts, topk):
     return labels, assigned
 
 
+SSC_OBJECT_SIZES = ((-1.0, 64.0), (64.0, 128.0), (128.0, 256.0),
+                    (256.0, 512.0), (512.0, INF))
+
+
+def ssc_assign(gt_boxes, gt_labels, anchors, level_counts):
+    """POSITIVE_TYPE='SSC' (atss/loss.py:93-131): FCOS-style spatial and
+    scale constraints evaluated at ANCHOR CENTERS — center inside the GT
+    with margin 0.01, max l/t/r/b within the level's
+    object-sizes-of-interest range, conflicts to the minimum-area GT."""
+    import numpy as np
+
+    gt_valid = gt_labels > 0
+    acx, acy = _anchor_centers(anchors)
+
+    l = acx[None, :, None] - gt_boxes[:, None, :, 0]  # (B, N, G)
+    t = acy[None, :, None] - gt_boxes[:, None, :, 1]
+    r = gt_boxes[:, None, :, 2] - acx[None, :, None]
+    b = gt_boxes[:, None, :, 3] - acy[None, :, None]
+    reg = jnp.stack([l, t, r, b], axis=-1)
+    in_box = reg.min(axis=-1) > 0.01
+
+    lo = np.concatenate([
+        np.full(c, SSC_OBJECT_SIZES[i][0], dtype=np.float32)
+        for i, c in enumerate(level_counts)
+    ])
+    hi = np.concatenate([
+        np.full(c, SSC_OBJECT_SIZES[i][1], dtype=np.float32)
+        for i, c in enumerate(level_counts)
+    ])
+    max_reg = reg.max(axis=-1)
+    cared = (max_reg >= jnp.asarray(lo)[None, :, None]) & (
+        max_reg <= jnp.asarray(hi)[None, :, None]
+    )
+
+    area = (gt_boxes[..., 2] - gt_boxes[..., 0] + 1.0) * (
+        gt_boxes[..., 3] - gt_boxes[..., 1] + 1.0
+    )
+    loc_area = jnp.where(
+        in_box & cared & gt_valid[:, None, :], area[:, None, :], INF
+    )
+    min_area = loc_area.min(axis=-1)
+    assigned = loc_area.argmin(axis=-1).astype(jnp.int32)
+    labels = jnp.where(
+        min_area < INF,
+        jnp.take_along_axis(gt_labels, assigned, axis=1),
+        0,
+    ).astype(jnp.int32)
+    return labels, assigned
+
+
 def iou_assign(gt_boxes, gt_labels, anchors, fg_thresh, bg_thresh):
     """RetinaNet-style assignment + centers-in-gt ignore filtering
     (loss.py:188-224)."""
@@ -205,11 +255,12 @@ def atss_loss(outputs, gt_boxes, gt_labels, anchors, level_counts, lc,
             gt_boxes, gt_labels, anchors,
             lc.fg_iou_threshold, lc.bg_iou_threshold,
         )
-    else:
-        raise NotImplementedError(
-            f"POSITIVE_TYPE {lc.positive_type} (SSC) tracked for a later "
-            "round"
+    elif lc.positive_type == "SSC":
+        labels, assigned = ssc_assign(
+            gt_boxes, gt_labels, anchors, level_counts
         )
+    else:
+        raise NotImplementedError(lc.positive_type)
 
     matched_boxes = jnp.take_along_axis(
         gt_boxes, assigned[:, :, None], axis=1

@@ -174,3 +174,51 @@ def test_atss_model_builds_and_runs():
     assert out["iou_pred"].shape == (1, n)  # centerness branch
     pp = model.postprocess_config()
     assert pp.score_voting is False
+
+
+def test_ssc_assignment():
+    from paa_tpu.modeling.atss_loss import ssc_assign
+
+    anchors, counts, gt_boxes, gt_labels = build_scenario()
+    G = 4
+    gtb = np.zeros((1, G, 4), np.float32)
+    gtb[0, :3] = gt_boxes
+    gtl = np.zeros((1, G), np.int32)
+    gtl[0, :3] = gt_labels
+    labels, assigned = ssc_assign(
+        jnp.asarray(gtb), jnp.asarray(gtl), jnp.asarray(anchors), counts
+    )
+    labels = np.asarray(labels[0])
+    assert (labels > 0).sum() > 0
+    # every positive anchor's center lies inside its assigned gt
+    acx = (anchors[:, 2] + anchors[:, 0]) / 2
+    acy = (anchors[:, 3] + anchors[:, 1]) / 2
+    a = np.asarray(assigned[0])
+    for i in np.nonzero(labels > 0)[0]:
+        g = gtb[0, a[i]]
+        assert g[0] < acx[i] < g[2] and g[1] < acy[i] < g[3]
+        assert labels[i] == gtl[0, a[i]]
+
+
+def test_ssc_loss_runs():
+    anchors, counts, gt_boxes, gt_labels = build_scenario()
+    n = anchors.shape[0]
+    rng = np.random.RandomState(0)
+    gtb = np.zeros((1, 4, 4), np.float32)
+    gtb[0, :3] = gt_boxes
+    gtl = np.zeros((1, 4), np.int32)
+    gtl[0, :3] = gt_labels
+    lc = ATSSLossConfig(topk=TOPK, positive_type="SSC")
+    out = atss_loss(
+        {
+            "cls_logits": jnp.asarray(
+                rng.normal(-3, 1, (1, n, 5)).astype(np.float32)),
+            "box_regression": jnp.asarray(
+                rng.normal(0, 0.3, (1, n, 4)).astype(np.float32)),
+            "iou_pred": jnp.asarray(
+                rng.normal(0, 1, (1, n)).astype(np.float32)),
+        },
+        jnp.asarray(gtb), jnp.asarray(gtl), jnp.asarray(anchors),
+        counts, lc,
+    )
+    assert np.isfinite(float(out["loss_cls"]))
