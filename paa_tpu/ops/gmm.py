@@ -12,9 +12,14 @@ Matches sklearn semantics for this restricted use:
 - ``predict`` = argmax responsibility, ``score_samples`` = logsumexp of
   weighted component log-pdfs.
 
-Instead of sklearn's convergence test we run a fixed number of iterations
-(EM on <=45 scalar samples converges in a handful of steps); masked-out
-entries carry zero responsibility weight and never affect the fit.
+sklearn's convergence test (mean-log-likelihood change < tol=1e-3,
+checked after each M-step) is reproduced per batch row by freezing a
+row's parameters once it converges, inside a fixed-length scan; this
+matters on near-unimodal candidate sets where running EM to its true
+fixed point moves the pos/neg split by a sample or two relative to
+sklearn's early stop (validated directly against installed sklearn in
+tests/test_gmm.py). Masked-out entries carry zero responsibility weight
+and never affect the fit.
 """
 
 from __future__ import annotations
@@ -38,13 +43,15 @@ def _component_log_prob(x, means, variances, weights):
     return log_pdf + jnp.log(weights[..., None, :])
 
 
-def gmm_fit_predict(values, valid, num_iters=64):
+def gmm_fit_predict(values, valid, num_iters=100, tol=1e-3):
     """Fit a 2-component 1-D GMM to masked values; classify and score them.
 
     Args:
         values: (..., K) float — samples (candidate losses).
         valid:  (..., K) bool — which samples participate in the fit.
-        num_iters: fixed EM iteration count.
+        num_iters: scan length (sklearn ``max_iter`` analogue).
+        tol: per-row convergence threshold on the mean log-likelihood
+            change (sklearn ``tol``); converged rows freeze.
 
     Returns:
         components: (..., K) int32 — argmax-responsibility component
@@ -67,11 +74,16 @@ def gmm_fit_predict(values, valid, num_iters=64):
     means = jnp.stack([vmin, vmax], axis=-1)  # (..., 2)
     variances = jnp.ones_like(means)  # precisions_init = 1.0
     weights = jnp.full_like(means, 0.5)
+    prev_lb = jnp.full(n_valid.shape, -jnp.inf, jnp.float32)
+    converged = jnp.zeros(n_valid.shape, bool)
 
     def em_step(state, _):
-        means, variances, weights = state
-        # E step
+        means, variances, weights, prev_lb, converged = state
+        # E step (also yields the pre-update mean log-likelihood, which
+        # sklearn uses for its convergence check AFTER the M step)
         log_prob = _component_log_prob(values, means, variances, weights)
+        lse = jax.scipy.special.logsumexp(log_prob, axis=-1)  # (..., K)
+        lb = (lse * validf).sum(axis=-1) / n_valid
         resp = jax.nn.softmax(log_prob, axis=-1)  # (..., K, 2)
         resp = resp * validf[..., :, None]
         # M step
@@ -80,10 +92,20 @@ def gmm_fit_predict(values, valid, num_iters=64):
         diff = values[..., :, None] - new_means[..., None, :]
         new_vars = (resp * diff * diff).sum(axis=-2) / nk + _REG_COVAR
         new_weights = nk / n_valid[..., None]
-        return (new_means, new_vars, new_weights), None
+        # rows already converged keep their parameters frozen
+        upd = (~converged)[..., None]
+        means = jnp.where(upd, new_means, means)
+        variances = jnp.where(upd, new_vars, variances)
+        weights = jnp.where(upd, new_weights, weights)
+        new_prev = jnp.where(converged, prev_lb, lb)
+        converged = converged | (jnp.abs(lb - prev_lb) < tol)
+        return (means, variances, weights, new_prev, converged), None
 
-    (means, variances, weights), _ = jax.lax.scan(
-        em_step, (means, variances, weights), None, length=num_iters
+    (means, variances, weights, _, _), _ = jax.lax.scan(
+        em_step,
+        (means, variances, weights, prev_lb, converged),
+        None,
+        length=num_iters,
     )
 
     log_prob = _component_log_prob(values, means, variances, weights)

@@ -100,3 +100,69 @@ def test_degenerate_rows_do_not_nan():
     assert np.isfinite(np.asarray(scores)[1, 0])
     assert np.isfinite(np.asarray(scores)[2, :4]).all()
     assert (np.asarray(comp) >= 0).all()
+
+
+def _sklearn_reference(x):
+    """The ACTUAL reference semantics: sklearn GaussianMixture exactly as
+    configured by paa_core/modeling/rpn/paa/loss.py:190-203."""
+    import sklearn.mixture as skm
+
+    x = np.asarray(x, dtype=np.float64).reshape(-1, 1)
+    gmm = skm.GaussianMixture(
+        2,
+        weights_init=[0.5, 0.5],
+        means_init=[[x.min()], [x.max()]],
+        precisions_init=[[[1.0]], [[1.0]]],
+    )
+    gmm.fit(x)
+    return gmm.predict(x), gmm.score_samples(x)
+
+
+def test_matches_sklearn_bimodal():
+    """Direct comparison against installed sklearn (not the numpy mirror)
+    on bimodal candidate-loss-like inputs."""
+    rng = np.random.RandomState(42)
+    cases = [
+        np.concatenate([rng.normal(0.4, 0.08, 15), rng.normal(2.5, 0.3, 20)]),
+        np.concatenate([rng.normal(0.2, 0.02, 5), rng.normal(4.0, 0.5, 40)]),
+        np.concatenate([rng.uniform(0.1, 0.5, 10), rng.uniform(2.0, 3.0, 8)]),
+    ]
+    for x in cases:
+        x = np.sort(np.abs(x))
+        sk_comp, sk_scores = _sklearn_reference(x)
+
+        K = 64
+        vals = np.full(K, 1e9, dtype=np.float32)
+        vals[: len(x)] = x
+        valid = np.zeros(K, dtype=bool)
+        valid[: len(x)] = True
+        comp, scores = gmm_fit_predict(jnp.asarray(vals), jnp.asarray(valid))
+        np.testing.assert_array_equal(np.asarray(comp)[: len(x)], sk_comp)
+        np.testing.assert_allclose(
+            np.asarray(scores)[: len(x)], sk_scores, rtol=5e-3, atol=5e-3
+        )
+
+
+def test_matches_sklearn_edge_cases():
+    """Overlapping modes, tiny samples, near-duplicates — the component
+    assignment (what PAA consumes for the pos/neg split) must agree."""
+    rng = np.random.RandomState(7)
+    cases = [
+        np.sort(rng.normal(1.0, 0.3, 30)),          # unimodal
+        np.sort(np.concatenate([rng.normal(0.9, 0.2, 12),
+                                rng.normal(1.4, 0.2, 12)])),  # overlapping
+        np.array([0.1, 0.11, 0.12, 3.0]),            # tiny n, one outlier
+        np.array([0.5, 0.6]),                         # minimum viable n=2
+    ]
+    for x in cases:
+        x = np.abs(x)
+        sk_comp, _ = _sklearn_reference(x)
+        K = 64
+        vals = np.full(K, 1e9, dtype=np.float32)
+        vals[: len(x)] = x
+        valid = np.zeros(K, dtype=bool)
+        valid[: len(x)] = True
+        comp, _ = gmm_fit_predict(jnp.asarray(vals), jnp.asarray(valid))
+        np.testing.assert_array_equal(
+            np.asarray(comp)[: len(x)], sk_comp, err_msg=f"case {x[:6]}"
+        )

@@ -109,11 +109,13 @@ def np_giou_loss(pred_deltas, target_deltas, anchors):
     return 1 - gious
 
 
-def np_em(x, iters=GMM_ITERS):
-    """Fixed-iteration EM matching ops/gmm.py semantics."""
+def np_em(x, iters=GMM_ITERS, tol=1e-3):
+    """EM matching ops/gmm.py semantics (sklearn-style tol early stop,
+    checked after the M step)."""
     means = np.array([x.min(), x.max()])
     variances = np.array([1.0, 1.0])
     weights = np.array([0.5, 0.5])
+    prev_lb = -np.inf
     for _ in range(iters):
         lp = (
             -0.5 * ((x[:, None] - means[None]) ** 2 / variances[None]
@@ -121,11 +123,15 @@ def np_em(x, iters=GMM_ITERS):
             + np.log(weights[None])
         )
         lse = np.logaddexp(lp[:, 0], lp[:, 1])
+        lb = lse.mean()
         resp = np.exp(lp - lse[:, None])
         nk = resp.sum(0) + 1e-12
         means = (resp * x[:, None]).sum(0) / nk
         variances = (resp * (x[:, None] - means[None]) ** 2).sum(0) / nk + 1e-6
         weights = nk / len(x)
+        if abs(lb - prev_lb) < tol:
+            break
+        prev_lb = lb
     lp = (
         -0.5 * ((x[:, None] - means[None]) ** 2 / variances[None]
                 + np.log(variances[None]) + np.log(2 * np.pi))
