@@ -54,8 +54,12 @@ def main():
     pp = PostProcessConfig.from_cfg(cfg)
 
     @jax.jit
-    def infer(variables, images, image_sizes):
-        outputs = model.module.apply(variables, images)
+    def infer(variables, images, image_sizes, carry):
+        # the carry dependency lives INSIDE the jit: a host-side
+        # `images + carry` between iterations adds one extra XLA
+        # program dispatch per step, which costs ~40 ms/step on the
+        # axon remote platform and halves the measured throughput
+        outputs = model.module.apply(variables, images + carry * 0.0)
         det = paa_postprocess(
             outputs, image_sizes, jnp.asarray(anchors), counts, pp
         )
@@ -73,16 +77,17 @@ def main():
     )
 
     # compile + warmup (float() forces a real round trip)
-    float(infer(variables, images, sizes))
-    float(infer(variables, images, sizes))
+    zero = jnp.float32(0.0)
+    float(infer(variables, images, sizes, zero))
+    float(infer(variables, images, sizes, zero))
 
     # Chain each iteration's input on the previous output so the device
     # must execute all iterations serially; fetch once at the end.
     iters = 20
     t0 = time.time()
-    carry = jnp.float32(0.0)
+    carry = zero
     for _ in range(iters):
-        carry = infer(variables, images + carry * 0.0, sizes)
+        carry = infer(variables, images, sizes, carry)
     float(carry)
     dt = time.time() - t0
 

@@ -100,7 +100,10 @@ def nms_pallas(boxes, scores, labels, valid, iou_threshold, max_out,
                class_aware=True):
     """Drop-in replacement for ops.nms.nms (same signature/returns)."""
     n = boxes.shape[0]
-    pad = (-n) % 128
+    # lane-multiple padding, minimum 256: Mosaic (Nov 2025 libtpu) dies
+    # with a layout-rank check failure when the candidate vectors are
+    # exactly one 128-lane tile wide
+    pad = max((-n) % 128, 256 - n if n < 256 else 0)
     if pad:
         boxes = jnp.concatenate(
             [boxes, jnp.zeros((pad, 4), boxes.dtype)], axis=0

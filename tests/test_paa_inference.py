@@ -202,3 +202,63 @@ def test_postprocess_no_iou_pred_and_batch():
     )
     assert out["boxes"].shape == (2, 5, 4)
     assert out["valid"].dtype == bool
+
+
+def test_batched_selection_matches_per_image_path():
+    """paa_postprocess (batched selection with the compaction fast path
+    and the top_k cond fallback) must produce identical detections to the
+    original per-image vmap(_postprocess_single) formulation, in both
+    candidate regimes."""
+    import jax
+    from functools import partial
+    from paa_tpu.modeling.paa_inference import _postprocess_single
+
+    rng = np.random.RandomState(11)
+    level_counts = (48, 12)
+    n = sum(level_counts)
+    c = 6
+    b = 3
+    anchors = np.stack([
+        rng.uniform(0, 60, n), rng.uniform(0, 60, n),
+        rng.uniform(60, 130, n), rng.uniform(60, 130, n),
+    ], axis=1).astype(np.float32)
+    sizes = jnp.asarray(np.tile(np.array([[128.0, 144.0]]), (b, 1)),
+                        jnp.float32)
+
+    def run_both(cls_logits, pp):
+        box_reg = rng.uniform(-0.4, 0.4, (b, n, 4)).astype(np.float32)
+        iou_pred = rng.uniform(-2, 2, (b, n)).astype(np.float32)
+        outputs = {
+            "cls_logits": jnp.asarray(cls_logits),
+            "box_regression": jnp.asarray(box_reg),
+            "iou_pred": jnp.asarray(iou_pred),
+        }
+        new = paa_postprocess(outputs, sizes, jnp.asarray(anchors),
+                              level_counts, pp)
+        fn = partial(_postprocess_single, level_counts=level_counts, pp=pp)
+        old = jax.vmap(
+            lambda cl, bo, io, s: fn(cl, bo, io, s,
+                                     anchors=jnp.asarray(anchors))
+        )(outputs["cls_logits"], outputs["box_regression"],
+          outputs["iou_pred"], sizes)
+        return new, old
+
+    pp = PostProcessConfig(
+        pre_nms_thresh=0.05, pre_nms_top_n=50, nms_thresh=0.6,
+        detections_per_img=10, num_classes=c, score_voting=True,
+    )
+    # sparse regime: few candidates above threshold -> compaction path
+    sparse_logits = rng.normal(-6.0, 0.5, (b, n, c)).astype(np.float32)
+    boost = rng.rand(b, n, c) < 0.05
+    sparse_logits[boost] += 5.0  # sigmoid ~ 0.27 > 0.05
+    # dense regime: nearly everything above threshold -> top_k fallback
+    dense_logits = rng.normal(0.5, 1.0, (b, n, c)).astype(np.float32)
+
+    for name, logits in [("sparse", sparse_logits), ("dense", dense_logits)]:
+        new, old = run_both(logits, pp)
+        for key in ("boxes", "scores", "labels", "valid"):
+            np.testing.assert_allclose(
+                np.asarray(new[key]), np.asarray(old[key]),
+                rtol=1e-6, atol=1e-6,
+                err_msg=f"{name} regime: {key} diverged",
+            )
