@@ -56,82 +56,91 @@ def np_greedy_ml_nms(boxes, scores, labels, thresh, max_out):
     return np.asarray(keep, dtype=np.int64)
 
 
+def _vote_clusters(boxes, scores, vote_thresh):
+    """Greedy score-ordered clustering on the pairwise +1-IoU matrix.
+
+    The spec (reference bbox_aug_vote.py:203-310): walk detections in
+    descending score order; each yet-unclustered detection seeds a
+    cluster of every remaining detection with IoU >= vote_thresh to it.
+    Implemented here as mask updates over one precomputed IoU matrix
+    (the repo's idiom) instead of the reference's repeated array
+    deletion.
+
+    Returns (b, s, cluster, seed_iou, n_clusters): score-sorted float64
+    boxes/scores, each detection's cluster id (ids are in seed-score
+    order), and its IoU against its cluster's seed.
+    """
+    order = scores.argsort()[::-1]
+    b = boxes[order].astype(np.float64)
+    s = scores[order].astype(np.float64)
+    n = len(s)
+    area = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+    lt = np.maximum(b[:, None, :2], b[None, :, :2])
+    rb = np.minimum(b[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt + 1, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    iou = inter / (area[:, None] + area[None, :] - inter)
+
+    cluster = np.full(n, -1, dtype=np.int64)
+    seed_iou = np.zeros(n)
+    unassigned = np.ones(n, dtype=bool)
+    k = 0
+    while unassigned.any():
+        seed = int(unassigned.argmax())  # highest-score unassigned
+        members = unassigned & (iou[seed] >= vote_thresh)
+        cluster[members] = k
+        seed_iou[members] = iou[seed, members]
+        unassigned &= ~members
+        k += 1
+    return b, s, cluster, seed_iou, k
+
+
+def _merge_clusters(b, s, cluster, k):
+    """Score-weighted box average and max score per cluster."""
+    wsum = np.stack(
+        [
+            np.bincount(cluster, weights=b[:, d] * s, minlength=k)
+            for d in range(4)
+        ],
+        axis=1,
+    )
+    ssum = np.bincount(cluster, weights=s, minlength=k)
+    # detections are score-sorted, so each cluster's first member (its
+    # seed) carries the cluster max score
+    smax = np.zeros(k)
+    np.maximum.at(smax, cluster, s)
+    return wsum / ssum[:, None], smax
+
+
 def bbox_vote(boxes, scores, vote_thresh):
-    """Reference bbox_vote (bbox_aug_vote.py:203-249)."""
-    det = np.concatenate(
-        [boxes, scores.reshape(-1, 1)], axis=1
-    ).astype(np.float64)
-    if det.shape[0] <= 1:
+    """IoU-cluster detections, emit one score-weighted average box with
+    the cluster max score per cluster (reference bbox_aug_vote.py:203-249
+    semantics; equivalence-tested in tests/test_bbox_aug.py)."""
+    if boxes.shape[0] <= 1:
         return np.zeros((0, 4)), np.zeros((0,))
-    order = det[:, 4].argsort()[::-1]
-    det = det[order]
-    dets = []
-    while det.shape[0] > 0:
-        area = (det[:, 2] - det[:, 0] + 1) * (det[:, 3] - det[:, 1] + 1)
-        xx1 = np.maximum(det[0, 0], det[:, 0])
-        yy1 = np.maximum(det[0, 1], det[:, 1])
-        xx2 = np.minimum(det[0, 2], det[:, 2])
-        yy2 = np.minimum(det[0, 3], det[:, 3])
-        w = np.maximum(0.0, xx2 - xx1 + 1)
-        h = np.maximum(0.0, yy2 - yy1 + 1)
-        inter = w * h
-        o = inter / (area[0] + area - inter)
-        merge_index = np.where(o >= vote_thresh)[0]
-        det_accu = det[merge_index]
-        det = np.delete(det, merge_index, 0)
-        if merge_index.shape[0] <= 1:
-            dets.append(det_accu)
-        else:
-            weighted = det_accu[:, :4] * det_accu[:, 4:5]
-            merged = np.zeros((1, 5))
-            merged[0, :4] = weighted.sum(0) / det_accu[:, 4].sum()
-            merged[0, 4] = det_accu[:, 4].max()
-            dets.append(merged)
-    dets = np.concatenate(dets, axis=0)
-    return dets[:, :4], dets[:, 4]
+    b, s, cluster, _, k = _vote_clusters(boxes, scores, vote_thresh)
+    merged, smax = _merge_clusters(b, s, cluster, k)
+    return merged, smax
 
 
 def soft_bbox_vote(boxes, scores, vote_thresh, score_thresh):
-    """Reference soft_bbox_vote (bbox_aug_vote.py:252-310)."""
-    det = np.concatenate(
-        [boxes, scores.reshape(-1, 1)], axis=1
-    ).astype(np.float64)
-    if det.shape[0] <= 1:
+    """Like bbox_vote, but members of multi-detection clusters survive
+    with soft-NMS-style decayed scores ``s * (1 - IoU_to_seed)`` when
+    still above ``score_thresh``; output is re-sorted by score
+    (reference bbox_aug_vote.py:252-310 semantics)."""
+    if boxes.shape[0] <= 1:
         return np.zeros((0, 4)), np.zeros((0,))
-    order = det[:, 4].argsort()[::-1]
-    det = det[order]
-    dets = []
-    while det.shape[0] > 0:
-        area = (det[:, 2] - det[:, 0] + 1) * (det[:, 3] - det[:, 1] + 1)
-        xx1 = np.maximum(det[0, 0], det[:, 0])
-        yy1 = np.maximum(det[0, 1], det[:, 1])
-        xx2 = np.minimum(det[0, 2], det[:, 2])
-        yy2 = np.minimum(det[0, 3], det[:, 3])
-        w = np.maximum(0.0, xx2 - xx1 + 1)
-        h = np.maximum(0.0, yy2 - yy1 + 1)
-        inter = w * h
-        o = inter / (area[0] + area - inter)
-        merge_index = np.where(o >= vote_thresh)[0]
-        det_accu = det[merge_index]
-        det_accu_iou = o[merge_index]
-        det = np.delete(det, merge_index, 0)
-        if merge_index.shape[0] <= 1:
-            dets.append(det_accu)
-        else:
-            soft = det_accu.copy()
-            soft[:, 4] = soft[:, 4] * (1 - det_accu_iou)
-            soft = soft[soft[:, 4] >= score_thresh]
-            weighted = det_accu[:, :4] * det_accu[:, 4:5]
-            merged = np.zeros((1, 5))
-            merged[0, :4] = weighted.sum(0) / det_accu[:, 4].sum()
-            merged[0, 4] = det_accu[:, 4].max()
-            if soft.shape[0] > 0:
-                merged = np.concatenate([merged, soft], axis=0)
-            dets.append(merged)
-    dets = np.concatenate(dets, axis=0)
-    order = dets[:, 4].argsort()[::-1]
-    dets = dets[order]
-    return dets[:, :4], dets[:, 4]
+    b, s, cluster, seed_iou, k = _vote_clusters(boxes, scores, vote_thresh)
+    merged, smax = _merge_clusters(b, s, cluster, k)
+
+    sizes = np.bincount(cluster, minlength=k)
+    soft_s = s * (1 - seed_iou)
+    keep = (sizes[cluster] > 1) & (soft_s >= score_thresh)
+
+    all_boxes = np.concatenate([merged, b[keep]])
+    all_scores = np.concatenate([smax, soft_s[keep]])
+    order = all_scores.argsort()[::-1]
+    return all_boxes[order], all_scores[order]
 
 
 def build_aug_list(cfg):
