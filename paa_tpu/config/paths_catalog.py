@@ -37,6 +37,14 @@ class DatasetCatalog:
             "img_dir": "coco/val2014",
             "ann_file": "coco/annotations/instances_valminusminival2014.json",
         },
+        "keypoints_coco_2017_train": {
+            "img_dir": "coco/train2017",
+            "ann_file": "coco/annotations/person_keypoints_train2017.json",
+        },
+        "keypoints_coco_2017_val": {
+            "img_dir": "coco/val2017",
+            "ann_file": "coco/annotations/person_keypoints_val2017.json",
+        },
         "voc_2007_train": {"data_dir": "voc/VOC2007", "split": "train"},
         "voc_2007_val": {"data_dir": "voc/VOC2007", "split": "val"},
         "voc_2007_test": {"data_dir": "voc/VOC2007", "split": "test"},

@@ -33,6 +33,8 @@ def build_dataset(cfg, dataset_names, is_train=True):
         args = data["args"]
         if data["factory"] == "COCODataset":
             args["remove_images_without_annotations"] = is_train
+            args["with_masks"] = cfg.MODEL.MASK_ON and is_train
+            args["with_keypoints"] = cfg.MODEL.KEYPOINT_ON and is_train
         elif data["factory"] == "PascalVOCDataset":
             args["use_difficult"] = not is_train
         datasets.append(factory(**args))

@@ -32,6 +32,7 @@ class ImageRecord:
     boxes: np.ndarray  # (n, 4) float32 xyxy
     labels: np.ndarray  # (n,) int32 contiguous 1..C
     polygons: Optional[list] = None  # per-instance COCO polygon lists
+    keypoints: Optional[object] = None  # (G, K, 3) float array
 
 
 def _xywh_to_xyxy(boxes):
@@ -66,9 +67,10 @@ def _has_valid_annotation(annos):
 class COCODataset:
     def __init__(self, ann_file, root,
                  remove_images_without_annotations=True,
-                 with_masks=False):
+                 with_masks=False, with_keypoints=False):
         self.root = root
         self.with_masks = with_masks
+        self.with_keypoints = with_keypoints
         with open(ann_file) as f:
             data = json.load(f)
 
@@ -127,6 +129,22 @@ class COCODataset:
                 polygons = [
                     p for p, k in zip(polys_all, keep) if k
                 ]
+            keypoints = None
+            if with_keypoints:
+                if non_crowd:
+                    kps_all = np.asarray(
+                        [
+                            np.asarray(
+                                a.get("keypoints") or [0.0] * 51,
+                                dtype=np.float32,
+                            ).reshape(-1, 3)
+                            for a in non_crowd
+                        ],
+                        dtype=np.float32,
+                    )
+                    keypoints = kps_all[keep]
+                else:
+                    keypoints = np.zeros((0, 17, 3), dtype=np.float32)
             self.records.append(
                 ImageRecord(
                     id=img_id,
@@ -136,6 +154,7 @@ class COCODataset:
                     boxes=boxes,
                     labels=labels,
                     polygons=polygons,
+                    keypoints=keypoints,
                 )
             )
 

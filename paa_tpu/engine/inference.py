@@ -25,27 +25,28 @@ from ..evaluation.coco_eval import COCOEvaluator, format_results
 from ..modeling.paa_inference import PostProcessConfig, paa_postprocess
 
 
-def make_eval_fn(model, variables, pp):
-    """Returns eval_fn(images, image_sizes) jitted per input shape."""
+def make_eval_fn(model, variables, pp=None):
+    """Returns eval_fn(images, image_sizes) jitted per input shape.
 
-    @jax.jit
-    def eval_fn(images, image_sizes):
-        outputs = model.module.apply(variables, images)
-        hw = images.shape[1:3]
-        anchors, counts = model.anchors_for(hw)
-        return model.postprocess(
-            outputs, image_sizes, jnp.asarray(anchors), counts
-        )
-
-    return eval_fn
+    The model provides the body (dense heads and two-stage R-CNN expose
+    the same make_eval_fn protocol); ``pp`` is retained for signature
+    compatibility and unused.
+    """
+    return model.make_eval_fn(variables)
 
 
-def compute_on_dataset(model, variables, loader, pp, logger=None):
+def compute_on_dataset(model, variables, loader, pp=None, logger=None):
     eval_fn = make_eval_fn(model, variables, pp)
     predictions = {}
     model_time = 0.0
     n_images = 0
-    for batch in loader:
+    # multi-host: processes take disjoint round-robin batches, then the
+    # per-process prediction dicts are gathered (the reference's pickle
+    # all_gather at eval, paa_core/engine/inference.py:45-64)
+    p_count, p_index = jax.process_count(), jax.process_index()
+    for batch_i, batch in enumerate(loader):
+        if batch_i % p_count != p_index:
+            continue
         t0 = time.time()
         det = eval_fn(
             jnp.asarray(batch["images"]),
@@ -79,9 +80,42 @@ def compute_on_dataset(model, variables, loader, pp, logger=None):
                 ],
                 axis=1,
             )
-            predictions[int(img_id)] = dict(
-                boxes_xywh=xywh, scores=scores, labels=labels
-            )
+            pred = dict(boxes_xywh=xywh, scores=scores, labels=labels)
+            if "kp_heatmaps" in det:
+                # heatmaps -> (x, y, score) in network coords, then
+                # rescale to original coords (reference
+                # heatmaps_to_keypoints + Keypoints.resize)
+                from ..structures.keypoints import heatmaps_to_keypoints
+
+                net_boxes = det["boxes"][i][valid]
+                kps = heatmaps_to_keypoints(
+                    det["kp_heatmaps"][i][valid], net_boxes
+                )
+                kps[..., 0] *= ow / rw
+                kps[..., 1] *= oh / rh
+                pred["keypoints"] = kps
+            if "masks" in det:
+                # paste box-frame mask probs into the original image and
+                # RLE-encode (reference Masker + pycocotools encode,
+                # coco_eval.py prepare_for_coco_segmentation)
+                from ..evaluation import mask_rle
+                from ..structures.masks import paste_mask_in_image
+
+                oh_i, ow_i = int(round(float(oh))), int(round(float(ow)))
+                pred["masks_rle"] = [
+                    mask_rle.encode(
+                        paste_mask_in_image(m, b, oh_i, ow_i)
+                    )
+                    for m, b in zip(det["masks"][i][valid], boxes)
+                ]
+            predictions[int(img_id)] = pred
+    if p_count > 1:
+        from ..utils.comm import all_gather_pickled
+
+        merged = {}
+        for part in all_gather_pickled(predictions):
+            merged.update(part)
+        predictions = merged
     return predictions, model_time, n_images
 
 
@@ -131,6 +165,40 @@ def inference(cfg, model, variables, dataset, output_folder=None,
     )
     results = evaluator.evaluate(detections)
     logger.info("\n" + format_results(results))
+
+    if any("keypoints" in p for p in predictions.values()):
+        for img_id, p in predictions.items():
+            detections[img_id]["keypoints"] = p.get(
+                "keypoints", np.zeros((0, 17, 3), np.float32)
+            )
+        kp_evaluator = COCOEvaluator(
+            dataset._raw_annotations, cat_ids, image_ids,
+            iou_type="keypoints",
+        )
+        kp_results = kp_evaluator.evaluate(detections)
+        logger.info("keypoints:\n" + format_results(kp_results, "keypoints"))
+        results = dict(results)
+        results.update(
+            {f"keypoints/{k}": v for k, v in kp_results.items()}
+        )
+
+    segm_results = None
+    if any("masks_rle" in p for p in predictions.values()):
+        for img_id, p in predictions.items():
+            detections[img_id]["masks_rle"] = p["masks_rle"]
+        image_sizes = {
+            r.id: (r.height, r.width) for r in dataset.records
+        }
+        segm_evaluator = COCOEvaluator(
+            dataset._raw_annotations, cat_ids, image_ids,
+            iou_type="segm", image_sizes=image_sizes,
+        )
+        segm_results = segm_evaluator.evaluate(detections)
+        logger.info("segm:\n" + format_results(segm_results))
+        results = dict(results)
+        results.update(
+            {f"segm/{k}": v for k, v in segm_results.items()}
+        )
 
     if cfg.TEST.EXPECTED_RESULTS:
         from ..evaluation.coco_eval import check_expected_results

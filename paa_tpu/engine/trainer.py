@@ -36,7 +36,6 @@ def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
     loader = make_data_loader(
         cfg, dataset, is_train=True, start_iter=start_iter
     )
-    loss_call, loss_cfg = model.loss_fn()
     num_shards = mesh.devices.size
 
     from ..solver import param_labels
@@ -45,16 +44,15 @@ def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
         state.params, cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT
     )
 
-    # one compiled step per bucket shape
+    # one compiled step per bucket shape; the model provides the step
+    # body (dense single-shot heads and two-stage R-CNN expose the same
+    # make_bucket_train_step protocol)
     steps = {}
 
     def get_step(hw):
         if hw not in steps:
-            anchors, counts = model.anchors_for(hw)
-            fn = make_train_step(
-                model.module.apply, anchors, counts, loss_cfg,
-                param_label_tree=labels, num_shards=num_shards,
-                loss_call=loss_call,
+            fn = model.make_bucket_train_step(
+                hw, param_label_tree=labels, num_shards=num_shards
             )
             steps[hw] = jit_train_step(fn, mesh)
         return steps[hw]
@@ -76,14 +74,24 @@ def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
 
         hw = batch["images"].shape[1:3]
         step_fn = get_step(hw)
-        device_batch = {
-            k: (
-                jax.device_put(batch[k], batch_sharding)
-                if batch_sharding is not None
-                else jnp.asarray(batch[k])
-            )
-            for k in ("images", "gt_boxes", "gt_labels")
-        }
+        if jax.process_count() > 1:
+            # each process loaded its slice of the global batch
+            # (loader process sharding); assemble the global array
+            device_batch = {
+                k: jax.make_array_from_process_local_data(
+                    batch_sharding, batch[k]
+                )
+                for k in model.train_batch_keys
+            }
+        else:
+            device_batch = {
+                k: (
+                    jax.device_put(batch[k], batch_sharding)
+                    if batch_sharding is not None
+                    else jnp.asarray(batch[k])
+                )
+                for k in model.train_batch_keys
+            }
         state, metrics = step_fn(state, device_batch)
 
         batch_time = time.time() - end

@@ -62,6 +62,48 @@ def _bbox_iou_xywh(dts, gts, iscrowd):
     return ious
 
 
+def _oks_iou(dt_kps, gts):
+    """pycocotools computeOks: per-(dt, gt) object keypoint similarity.
+
+    dt_kps: (n_dt, K, 3) predicted keypoints (x, y, score).
+    gts: list of GT annotation dicts with 'keypoints' (flat 3K list),
+    'bbox' (xywh) and 'area'.
+    """
+    from ..structures.keypoints import OKS_SIGMAS
+
+    n_d, n_g = len(dt_kps), len(gts)
+    out = np.zeros((n_d, n_g))
+    if not n_d or not n_g:
+        return out
+    variances = (2 * OKS_SIGMAS) ** 2
+    k = len(OKS_SIGMAS)
+    for j, g in enumerate(gts):
+        gkp = np.asarray(
+            g.get("keypoints") or [0.0] * (3 * k), dtype=np.float64
+        ).reshape(-1, 3)
+        xg, yg, vg = gkp[:, 0], gkp[:, 1], gkp[:, 2]
+        k1 = int((vg > 0).sum())
+        bx, by, bw, bh = g["bbox"]
+        x0, x1 = bx - bw, bx + bw * 2
+        y0, y1 = by - bh, by + bh * 2
+        for i, d in enumerate(dt_kps):
+            xd, yd = d[:, 0].astype(np.float64), d[:, 1].astype(np.float64)
+            if k1 > 0:
+                dx = xd - xg
+                dy = yd - yg
+            else:  # no visible GT kps: distance to the expanded box
+                z = np.zeros(k)
+                dx = np.maximum(z, x0 - xd) + np.maximum(z, xd - x1)
+                dy = np.maximum(z, y0 - yd) + np.maximum(z, yd - y1)
+            e = (dx ** 2 + dy ** 2) / variances / (
+                g.get("area", bw * bh) + np.spacing(1)
+            ) / 2
+            if k1 > 0:
+                e = e[vg > 0]
+            out[i, j] = np.exp(-e).sum() / e.shape[0] if e.shape[0] else 0.0
+    return out
+
+
 def _match_img_py(ious, g_ig, g_crowd, dt_out_of_range):
     """Numpy fallback of the per-image greedy matching (the native C++
     kernel in csrc/cocoeval.cpp is preferred)."""
@@ -112,7 +154,26 @@ class COCOEvaluator:
     """
 
     def __init__(self, gt_by_image: Dict[int, list], cat_ids: List[int],
-                 image_ids: List[int]):
+                 image_ids: List[int], iou_type: str = "bbox",
+                 image_sizes: Dict[int, tuple] = None):
+        """iou_type 'segm' evaluates instance masks: detections carry
+        ``masks_rle`` (list of RLE dicts, see evaluation/mask_rle.py) and
+        GT ``segmentation`` polygons are rasterized at the original image
+        size from ``image_sizes`` (img_id -> (h, w)). Mirrors the
+        reference's pycocotools segm flavor
+        (paa_core/data/datasets/evaluation/coco/coco_eval.py:13-67)."""
+        assert iou_type in ("bbox", "segm", "keypoints"), iou_type
+        self.iou_type = iou_type
+        self.image_sizes = image_sizes or {}
+        if iou_type == "keypoints":
+            # pycocotools kps params: maxDets [20], areas all/medium/large
+            self.max_dets = (20,)
+            self.area_rngs = {
+                k: AREA_RNGS[k] for k in ("all", "medium", "large")
+            }
+        else:
+            self.max_dets = MAX_DETS
+            self.area_rngs = AREA_RNGS
         self.cat_ids = list(cat_ids)
         self.image_ids = list(image_ids)
         self._gt = {}
@@ -124,19 +185,19 @@ class COCOEvaluator:
 
     def evaluate(self, detections: Dict[int, dict]):
         """detections: image_id -> dict(boxes_xywh (n,4), scores (n,),
-        category_ids (n,)). Returns dict of the 12 standard metrics plus
-        per-metric values in [0,1] (or -1)."""
+        category_ids (n,), [masks_rle (n,) for segm]). Returns dict of
+        the 12 standard metrics plus per-metric values in [0,1] (or -1)."""
         T = len(IOU_THRS)
         R = len(REC_THRS)
         K = len(self.cat_ids)
-        A = len(AREA_RNGS)
-        M = len(MAX_DETS)
-        max_det = max(MAX_DETS)
+        A = len(self.area_rngs)
+        M = len(self.max_dets)
+        max_det = max(self.max_dets)
 
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
 
-        area_items = list(AREA_RNGS.items())
+        area_items = list(self.area_rngs.items())
 
         for k, cat_id in enumerate(self.cat_ids):
             # gather per-image eval results for this category
@@ -144,6 +205,10 @@ class COCOEvaluator:
             for img_id in self.image_ids:
                 gts = self._gt[img_id].get(cat_id, [])
                 det = detections.get(img_id)
+                segm = self.iou_type == "segm"
+                kps = self.iou_type == "keypoints"
+                dt_rles = []
+                dt_kps = np.zeros((0, 17, 3))
                 if det is None:
                     dt_boxes = np.zeros((0, 4))
                     dt_scores = np.zeros((0,))
@@ -151,12 +216,23 @@ class COCOEvaluator:
                     sel = np.asarray(det["category_ids"]) == cat_id
                     dt_boxes = np.asarray(det["boxes_xywh"])[sel]
                     dt_scores = np.asarray(det["scores"])[sel]
+                    if segm:
+                        dt_rles = [
+                            det["masks_rle"][i]
+                            for i in np.nonzero(sel)[0]
+                        ]
+                    if kps:
+                        dt_kps = np.asarray(det["keypoints"])[sel]
                 if len(gts) == 0 and len(dt_scores) == 0:
                     per_image.append(None)
                     continue
                 order = np.argsort(-dt_scores, kind="mergesort")[:max_det]
                 dt_boxes = dt_boxes[order]
                 dt_scores = dt_scores[order]
+                if segm:
+                    dt_rles = [dt_rles[i] for i in order]
+                if kps:
+                    dt_kps = dt_kps[order]
 
                 g_boxes = np.asarray([g["bbox"] for g in gts]).reshape(-1, 4)
                 g_crowd = np.asarray(
@@ -165,6 +241,9 @@ class COCOEvaluator:
                 g_ignore_base = np.asarray(
                     [
                         bool(g.get("ignore", 0)) or bool(g.get("iscrowd", 0))
+                        # keypoints flavor ignores GTs without labeled
+                        # keypoints (pycocotools _prepare)
+                        or (kps and int(g.get("num_keypoints", 0)) == 0)
                         for g in gts
                     ],
                     dtype=bool,
@@ -176,8 +255,35 @@ class COCOEvaluator:
                     ],
                     dtype=np.float64,
                 )
-                ious = _bbox_iou_xywh(dt_boxes, g_boxes, g_crowd)
-                dt_area = dt_boxes[:, 2] * dt_boxes[:, 3]
+                if segm:
+                    from . import mask_rle
+
+                    gh, gw = self.image_sizes.get(img_id, (0, 0))
+                    g_rles = [
+                        mask_rle.polygons_to_rle(
+                            g["segmentation"], gh, gw
+                        )
+                        for g in gts
+                    ]
+                    ious = mask_rle.iou(dt_rles, g_rles, g_crowd)
+                    dt_area = np.asarray(
+                        [mask_rle.area(r) for r in dt_rles],
+                        dtype=np.float64,
+                    )
+                elif kps:
+                    ious = _oks_iou(dt_kps, gts)
+                    # pycocotools loadRes: dt area = keypoint extent box
+                    if len(dt_kps):
+                        xs, ys = dt_kps[..., 0], dt_kps[..., 1]
+                        dt_area = (
+                            (xs.max(1) - xs.min(1))
+                            * (ys.max(1) - ys.min(1))
+                        )
+                    else:
+                        dt_area = np.zeros((0,))
+                else:
+                    ious = _bbox_iou_xywh(dt_boxes, g_boxes, g_crowd)
+                    dt_area = dt_boxes[:, 2] * dt_boxes[:, 3]
                 per_image.append(
                     dict(
                         scores=dt_scores,
@@ -223,7 +329,7 @@ class COCOEvaluator:
                         )
                     )
 
-                for m, md in enumerate(MAX_DETS):
+                for m, md in enumerate(self.max_dets):
                     scores_all, tps_all, ig_all = [], [], []
                     npig = 0
                     for ie in img_evals:
@@ -273,9 +379,11 @@ class COCOEvaluator:
         self.recall = recall
         return self.summarize()
 
-    def _summ(self, ap, iou_thr=None, area="all", max_det=100):
-        a = list(AREA_RNGS.keys()).index(area)
-        m = MAX_DETS.index(max_det)
+    def _summ(self, ap, iou_thr=None, area="all", max_det=None):
+        if max_det is None:
+            max_det = max(self.max_dets)
+        a = list(self.area_rngs.keys()).index(area)
+        m = self.max_dets.index(max_det)
         if ap:
             s = self.precision[:, :, :, a, m]
             if iou_thr is not None:
@@ -290,6 +398,19 @@ class COCOEvaluator:
         return float(valid.mean()) if valid.size else -1.0
 
     def summarize(self):
+        if self.iou_type == "keypoints":
+            return {
+                "AP": self._summ(True),
+                "AP50": self._summ(True, iou_thr=0.5),
+                "AP75": self._summ(True, iou_thr=0.75),
+                "APm": self._summ(True, area="medium"),
+                "APl": self._summ(True, area="large"),
+                "AR": self._summ(False),
+                "AR50": self._summ(False, iou_thr=0.5),
+                "AR75": self._summ(False, iou_thr=0.75),
+                "ARm": self._summ(False, area="medium"),
+                "ARl": self._summ(False, area="large"),
+            }
         return {
             "AP": self._summ(True),
             "AP50": self._summ(True, iou_thr=0.5),
@@ -329,9 +450,13 @@ def check_expected_results(results, expected_results, sigma_tol,
         assert ok, msg
 
 
-def format_results(results):
+def format_results(results, task="bbox"):
     """COCOResults-style table (reference coco_eval.py:358-402)."""
-    lines = ["Task: bbox"]
+    lines = [f"Task: {task}"]
     for k in METRICS:
-        lines.append(f"{k}: {results[k]:.4f}")
+        if k in results:
+            lines.append(f"{k}: {results[k]:.4f}")
+    for k in results:
+        if k not in METRICS and "/" not in k:
+            lines.append(f"{k}: {results[k]:.4f}")
     return "\n".join(lines)

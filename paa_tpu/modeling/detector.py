@@ -157,6 +157,41 @@ class DetectionModel:
         images = jnp.zeros((batch_size, *image_hw, 3), dtype=dtype)
         return self.module.init(rng, images)
 
+    # -- engine protocol (shared with TwoStageModel) ---------------------
+
+    @property
+    def train_batch_keys(self):
+        return ("images", "gt_boxes", "gt_labels")
+
+    def make_bucket_train_step(self, hw, param_label_tree=None,
+                               num_shards=1):
+        """train_step(state, batch) -> (state, metrics) for one bucket
+        shape; jit with engine.train_step.jit_train_step."""
+        from ..engine.train_step import make_train_step
+
+        loss_call, loss_cfg = self.loss_fn()
+        anchors, counts = self.anchors_for(hw)
+        return make_train_step(
+            self.module.apply, anchors, counts, loss_cfg,
+            param_label_tree=param_label_tree, num_shards=num_shards,
+            loss_call=loss_call,
+        )
+
+    def make_eval_fn(self, variables):
+        """eval_fn(images, image_sizes) -> detection dict; retraces per
+        input shape (anchors are static per shape)."""
+
+        @jax.jit
+        def eval_fn(images, image_sizes):
+            outputs = self.module.apply(variables, images)
+            hw = images.shape[1:3]
+            anchors, counts = self.anchors_for(hw)
+            return self.postprocess(
+                outputs, image_sizes, jnp.asarray(anchors), counts
+            )
+
+        return eval_fn
+
 
 def build_backbone(cfg, dtype=jnp.float32):
     body = cfg.MODEL.BACKBONE.CONV_BODY
@@ -224,10 +259,19 @@ def build_detection_model(cfg, dtype=None) -> DetectionModel:
         anchor_gen = make_anchor_generator_retinanet(cfg)
         strides = tuple(cfg.MODEL.RETINANET.ANCHOR_STRIDES)
         head_type = "retinanet"
+    elif not cfg.MODEL.RPN_ONLY:
+        # Faster/Mask R-CNN (reference GeneralizedRCNN with ROI heads,
+        # generalized_rcnn.py:33-65) — returns a TwoStageModel exposing
+        # the same engine protocol (train_batch_keys,
+        # make_bucket_train_step, make_eval_fn) as DetectionModel
+        from .two_stage import build_faster_rcnn
+
+        return build_faster_rcnn(cfg, dtype=dtype)
     else:
         raise NotImplementedError(
-            "PAA/ATSS/FCOS heads are implemented; RetinaNet and the "
-            "classic RPN are tracked for later rounds"
+            "RPN-only proposal models (box-proposal AR evaluation) are "
+            "not wired into the engine; use a dense head or a two-stage "
+            "config"
         )
     module = DenseDetector(backbone=backbone, head=head)
     return DetectionModel(

@@ -36,12 +36,14 @@ from .rpn import RPNConfig, RPNHead, rpn_loss, select_proposals
 
 class FasterRCNN(nn.Module):
     """Also hosts the optional mask branch (Mask R-CNN when
-    ``mask_head`` is set, cfg.MODEL.MASK_ON)."""
+    ``mask_head`` is set, cfg.MODEL.MASK_ON) and keypoint branch
+    (Keypoint R-CNN when ``keypoint_head`` is set, KEYPOINT_ON)."""
 
     backbone: nn.Module
     rpn_head: nn.Module
     box_head: nn.Module
     mask_head: nn.Module = None
+    keypoint_head: nn.Module = None
 
     def backbone_rpn(self, images):
         features = self.backbone(images)
@@ -55,13 +57,21 @@ class FasterRCNN(nn.Module):
     def mask(self, features, rois, roi_batch_idx):
         return self.mask_head(list(features)[:4], rois, roi_batch_idx)
 
+    def keypoint(self, features, rois, roi_batch_idx):
+        return self.keypoint_head(
+            list(features)[:4], rois, roi_batch_idx
+        )
+
     def __call__(self, images, rois, roi_batch_idx):
+        # exercises every branch so module.init creates all params
         features, rpn_out = self.backbone_rpn(images)
         cls_logits, box_deltas = self.box(features, rois, roi_batch_idx)
+        out = (rpn_out, cls_logits, box_deltas)
         if self.mask_head is not None:
-            mask_logits = self.mask(features, rois, roi_batch_idx)
-            return rpn_out, cls_logits, box_deltas, mask_logits
-        return rpn_out, cls_logits, box_deltas
+            out = out + (self.mask(features, rois, roi_batch_idx),)
+        if self.keypoint_head is not None:
+            out = out + (self.keypoint(features, rois, roi_batch_idx),)
+        return out
 
 
 @dataclass
@@ -70,6 +80,7 @@ class TwoStageModel:
     module: FasterRCNN
     anchor_generator: AnchorGenerator
     strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    head_type: str = "two_stage"
 
     def feature_shapes(self, image_hw):
         import math
@@ -88,6 +99,93 @@ class TwoStageModel:
         rois = jnp.zeros((4, 4), jnp.float32)
         bidx = jnp.zeros((4,), jnp.int32)
         return self.module.init(rng, images, rois, bidx)
+
+    # -- engine protocol (same surface as DetectionModel) ---------------
+
+    @property
+    def train_batch_keys(self):
+        keys = ("images", "gt_boxes", "gt_labels", "image_sizes")
+        if self.cfg.MODEL.MASK_ON:
+            keys = keys + ("gt_masks",)
+        if self.cfg.MODEL.KEYPOINT_ON:
+            keys = keys + ("gt_keypoints",)
+        return keys
+
+    def make_bucket_train_step(self, hw, param_label_tree=None,
+                               num_shards=1):
+        """train_step(state, batch) -> (state, metrics) for one bucket.
+
+        The ROI subsampling rng derives from state.step (fold_in), so
+        resume reproduces the same sampling stream without threading
+        keys through the trainer.
+        """
+        import optax
+
+        loss_body = faster_rcnn_train_step_fns(self, hw, num_shards)
+        base_rng = jax.random.PRNGKey(self.cfg.TPU.SEED)
+        mask_on = self.cfg.MODEL.MASK_ON
+        keypoint_on = self.cfg.MODEL.KEYPOINT_ON
+
+        def loss_fn(params, batch, rng):
+            if param_label_tree is not None:
+                params = jax.tree_util.tree_map(
+                    lambda p, label: (
+                        jax.lax.stop_gradient(p) if label == "frozen" else p
+                    ),
+                    params,
+                    param_label_tree,
+                )
+            losses = loss_body(
+                {"params": params},
+                batch["images"],
+                batch["gt_boxes"],
+                batch["gt_labels"],
+                batch["image_sizes"],
+                rng,
+                gt_masks=batch.get("gt_masks") if mask_on else None,
+                gt_keypoints=(
+                    batch.get("gt_keypoints") if keypoint_on else None
+                ),
+            )
+            total = sum(
+                v for k, v in losses.items() if k.startswith("loss_")
+            )
+            return total, losses
+
+        def train_step(state, batch):
+            rng = jax.random.fold_in(base_rng, state.step)
+            (total, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, batch, rng)
+            updates, new_opt_state = state.tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt_state,
+            )
+            metrics = dict(losses)
+            metrics["loss"] = total
+            return new_state, metrics
+
+        return train_step
+
+    def postprocess_config(self):
+        return ROIBoxConfig.from_cfg(self.cfg)
+
+    def make_eval_fn(self, variables):
+        """eval_fn(images, image_sizes) -> detection dict; retraces per
+        input shape (anchors are static per shape)."""
+
+        @jax.jit
+        def eval_fn(images, image_sizes):
+            hw = images.shape[1:3]
+            body = faster_rcnn_eval_fn(self, hw)
+            return body(variables, images, image_sizes)
+
+        return eval_fn
 
 
 def build_faster_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
@@ -127,9 +225,25 @@ def build_faster_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
             num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES - 1,
             dtype=dtype,
         )
+    keypoint_head = None
+    if cfg.MODEL.KEYPOINT_ON:
+        from .roi_keypoint_head import KeypointHead
+
+        kcfg = cfg.MODEL.ROI_KEYPOINT_HEAD
+        scales = tuple(kcfg.POOLER_SCALES)
+        if len(scales) != 4:  # C4-style single-scale config: use FPN
+            scales = (0.25, 0.125, 0.0625, 0.03125)
+        keypoint_head = KeypointHead(
+            num_keypoints=kcfg.NUM_CLASSES,
+            conv_channels=tuple(kcfg.CONV_LAYERS),
+            resolution=kcfg.POOLER_RESOLUTION,
+            scales=scales,
+            sampling_ratio=max(kcfg.POOLER_SAMPLING_RATIO, 1),
+            dtype=dtype,
+        )
     module = FasterRCNN(
         backbone=backbone, rpn_head=rpn_head, box_head=box_head,
-        mask_head=mask_head,
+        mask_head=mask_head, keypoint_head=keypoint_head,
     )
     return TwoStageModel(
         cfg=cfg, module=module, anchor_generator=anchor_gen
@@ -146,9 +260,10 @@ def faster_rcnn_train_step_fns(model: TwoStageModel, image_hw,
     bc = ROIBoxConfig.from_cfg(cfg)
 
     mask_on = cfg.MODEL.MASK_ON
+    keypoint_on = cfg.MODEL.KEYPOINT_ON
 
     def loss_fn(variables, images, gt_boxes, gt_labels, image_sizes, rng,
-                gt_masks=None):
+                gt_masks=None, gt_keypoints=None):
         features, rpn_out = model.module.apply(
             variables, images, method=FasterRCNN.backbone_rpn
         )
@@ -206,6 +321,23 @@ def faster_rcnn_train_step_fns(model: TwoStageModel, image_hw,
                     roi_valid.reshape(-1),
                 )
             )
+
+        if keypoint_on and gt_keypoints is not None:
+            from .roi_keypoint_head import keypoint_loss
+
+            kp_logits = model.module.apply(
+                variables, features, flat_rois, batch_idx,
+                method=FasterRCNN.keypoint,
+            )
+            roi_kps = jax.vmap(lambda gk, gi: gk[gi])(
+                gt_keypoints.astype(jnp.float32), roi_gt_idx
+            ).reshape(-1, *gt_keypoints.shape[-2:])
+            positive = (
+                (roi_labels.reshape(-1) > 0) & roi_valid.reshape(-1)
+            )
+            losses.update(
+                keypoint_loss(kp_logits, flat_rois, roi_kps, positive)
+            )
         return losses
 
     return loss_fn
@@ -233,7 +365,7 @@ def faster_rcnn_eval_fn(model: TwoStageModel, image_hw):
             method=FasterRCNN.box,
         )
         c = cls_logits.shape[-1]
-        return jax.vmap(
+        det = jax.vmap(
             lambda cl, bd, r, v, sz: roi_box_postprocess(
                 cl, bd, r, v, sz, bc
             )
@@ -244,5 +376,39 @@ def faster_rcnn_eval_fn(model: TwoStageModel, image_hw):
             p_valid,
             image_sizes,
         )
+
+        if cfg.MODEL.MASK_ON:
+            # Mask R-CNN eval: run the mask branch on the KEPT detection
+            # boxes and emit the predicted class channel's probabilities
+            # (reference roi_heads/mask_head/inference.py Masker input)
+            d = det["boxes"].shape[1]
+            det_rois = det["boxes"].reshape(-1, 4)
+            det_bidx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), d)
+            mask_logits = model.module.apply(
+                variables, features, det_rois, det_bidx,
+                method=FasterRCNN.mask,
+            )  # (B*D, M, M, C-1)
+            chan = jnp.maximum(det["labels"].reshape(-1) - 1, 0)
+            sel = jnp.take_along_axis(
+                mask_logits, chan[:, None, None, None], axis=-1
+            )[..., 0]
+            m = sel.shape[-1]
+            det["masks"] = jax.nn.sigmoid(
+                sel.astype(jnp.float32)
+            ).reshape(bsz, d, m, m)
+
+        if cfg.MODEL.KEYPOINT_ON:
+            d = det["boxes"].shape[1]
+            det_rois = det["boxes"].reshape(-1, 4)
+            det_bidx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), d)
+            kp_logits = model.module.apply(
+                variables, features, det_rois, det_bidx,
+                method=FasterRCNN.keypoint,
+            )  # (B*D, S, S, K)
+            s, k_ = kp_logits.shape[1], kp_logits.shape[3]
+            det["kp_heatmaps"] = kp_logits.astype(jnp.float32).reshape(
+                bsz, d, s, s, k_
+            )
+        return det
 
     return eval_fn
