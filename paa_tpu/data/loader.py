@@ -84,6 +84,19 @@ def make_batch(samples, bucket_hw, max_gt, mask_size=112):
         np.zeros((bsz, max_gt, mask_size, mask_size), dtype=np.uint8)
         if with_masks else None
     )
+    with_kps = any(s.get("keypoints") is not None for s in samples)
+    num_kps = next(
+        (
+            s["keypoints"].shape[1]
+            for s in samples
+            if s.get("keypoints") is not None and len(s["keypoints"])
+        ),
+        17,
+    ) if with_kps else 0
+    gt_keypoints = (
+        np.zeros((bsz, max_gt, num_kps, 3), dtype=np.float32)
+        if with_kps else None
+    )
 
     for i, s in enumerate(samples):
         img = s["image"]
@@ -99,17 +112,9 @@ def make_batch(samples, bucket_hw, max_gt, mask_size=112):
             gt_labels[i, :n] = labels[:n]
             if gt_masks is not None and s.get("masks") is not None:
                 gt_masks[i, :n] = s["masks"][:n]
-    if gt_masks is not None:
-        return {
-            "images": images,
-            "gt_boxes": gt_boxes,
-            "gt_labels": gt_labels,
-            "gt_masks": gt_masks,
-            "image_sizes": image_sizes,
-            "orig_sizes": orig_sizes,
-            "image_ids": image_ids,
-        }
-    return {
+            if gt_keypoints is not None and s.get("keypoints") is not None:
+                gt_keypoints[i, :n] = s["keypoints"][:n]
+    batch = {
         "images": images,
         "gt_boxes": gt_boxes,
         "gt_labels": gt_labels,
@@ -117,6 +122,11 @@ def make_batch(samples, bucket_hw, max_gt, mask_size=112):
         "orig_sizes": orig_sizes,
         "image_ids": image_ids,
     }
+    if gt_masks is not None:
+        batch["gt_masks"] = gt_masks
+    if gt_keypoints is not None:
+        batch["gt_keypoints"] = gt_keypoints
+    return batch
 
 
 class DetectionLoader:
@@ -124,7 +134,15 @@ class DetectionLoader:
 
     def __init__(self, dataset, transform, buckets, batch_size, max_gt,
                  is_train=True, seed=0, num_threads=4, prefetch=2,
-                 start_iter=0, max_iter=None):
+                 start_iter=0, max_iter=None, process_count=1,
+                 process_index=0):
+        """``batch_size`` is the GLOBAL batch; with ``process_count`` > 1
+        every process computes the identical global batch/bucket stream
+        (deterministic seed + per-(epoch, index) augmentation draws) and
+        loads only its ``process_index``-th interleaved slice — the
+        multi-host analogue of the reference's DistributedSampler
+        (paa_core/data/samplers/distributed.py:10-66) that additionally
+        keeps XLA program shapes aligned across hosts."""
         self.dataset = dataset
         self.transform = transform
         self.assigner = BucketAssigner(buckets)
@@ -136,6 +154,12 @@ class DetectionLoader:
         self.prefetch = prefetch
         self.start_iter = start_iter
         self.max_iter = max_iter
+        assert batch_size % process_count == 0, (
+            f"global batch {batch_size} not divisible by "
+            f"{process_count} processes"
+        )
+        self.process_count = process_count
+        self.process_index = process_index
 
         # static bucket prediction per image (aspect grouping)
         self._bucket_of = [
@@ -143,7 +167,45 @@ class DetectionLoader:
             for r in dataset.records
         ]
 
-    def _load_sample(self, index):
+    def _predicted_bucket(self, idx, epoch):
+        """Exact bucket for a sample, computed WITHOUT loading the image:
+        the resize rule is deterministic given the record's size and the
+        (deterministic) size draw, so every process predicts the same
+        bucket. Falls back to the aspect-group bucket for transforms
+        without known sizes."""
+        from .transforms import get_resize_size
+
+        r = self.dataset.records[idx]
+        t = self.transform
+        if self.is_train and hasattr(t, "min_sizes"):
+            size_draw, _ = self._draws(epoch, idx)
+            chosen = t.min_sizes[int(size_draw * len(t.min_sizes))]
+            max_size = t.max_size
+        elif hasattr(t, "min_size"):
+            chosen, max_size = t.min_size, t.max_size
+        else:
+            return self._bucket_of[idx]
+        oh, ow = get_resize_size((r.width, r.height), chosen, max_size)
+        return self.assigner.assign(oh, ow)
+
+    def _draws(self, epoch, index):
+        """Deterministic per-(epoch, sample) augmentation draws."""
+        rng = np.random.RandomState(
+            (self.seed * 1000003 + epoch * 9973 + index) % (2 ** 31)
+        )
+        return rng.random_sample(), rng.random_sample()
+
+    def _load_sample(self, index, epoch=0):
+        if index < 0:  # eval tail padding sentinel
+            return {
+                "image": np.zeros((1, 1, 3), dtype=np.float32),
+                "boxes": np.zeros((0, 4), dtype=np.float32),
+                "labels": np.zeros((0,), dtype=np.int64),
+                "masks": None,
+                "keypoints": None,
+                "image_id": -1,
+                "orig_size": (1, 1),
+            }
         r = self.dataset.records[index]
         image = self.dataset.load_image(index)
         boxes, labels = r.boxes.copy(), r.labels.copy()
@@ -156,20 +218,30 @@ class DetectionLoader:
             masks = rasterize_instances(
                 r.polygons, r.boxes, max(len(labels), 1)
             )[: len(labels)]
+        keypoints = getattr(r, "keypoints", None)
+        out = self.transform(
+            image, boxes, masks=masks, keypoints=keypoints,
+            draws=self._draws(epoch, index) if self.is_train else None,
+        )
+        image, boxes = out[0], out[1]
+        rest = list(out[2:])
         if masks is not None:
-            image, boxes, masks = self.transform(image, boxes, masks)
-        else:
-            image, boxes = self.transform(image, boxes)
+            masks = rest.pop(0)
+        if keypoints is not None:
+            keypoints = rest.pop(0)
         return {
             "image": image,
             "boxes": boxes if boxes is not None else np.zeros((0, 4)),
             "labels": labels,
             "masks": masks,
+            "keypoints": keypoints,
             "image_id": r.id,
             "orig_size": (r.height, r.width),
         }
 
-    def _batches_of_indices(self) -> Iterator[List[int]]:
+    def _batches_of_indices(self):
+        """Yields (epoch, bucket, global_indices); deterministic given
+        (seed, start_iter) so all processes agree on the stream."""
         n = len(self.dataset)
         if self.is_train:
             # infinite, epoch-seeded shuffle, grouped by bucket
@@ -181,11 +253,11 @@ class DetectionLoader:
                 perm = rng.permutation(n)
                 pending = {}
                 for idx in perm:
-                    b = self._bucket_of[idx]
+                    b = self._predicted_bucket(int(idx), epoch)
                     pending.setdefault(b, []).append(int(idx))
                     if len(pending[b]) == self.batch_size:
                         if it >= self.start_iter:
-                            yield pending.pop(b)
+                            yield epoch, b, pending.pop(b)
                         else:
                             pending.pop(b)
                         it += 1
@@ -193,26 +265,36 @@ class DetectionLoader:
                             return
                 epoch += 1
         else:
-            # sequential, grouped by bucket, dropping nothing
+            # sequential, grouped by bucket, dropping nothing; tail
+            # batches are padded to batch_size with sentinel index -1
+            # (dummy image_id -1 samples) so eval compiles exactly one
+            # program per bucket instead of one per leftover size
             pending = {}
-            order = []
             for idx in range(n):
-                b = self._bucket_of[idx]
+                b = self._predicted_bucket(idx, 0)
                 pending.setdefault(b, []).append(idx)
                 if len(pending[b]) == self.batch_size:
-                    yield pending.pop(b)
+                    yield 0, b, pending.pop(b)
             for b, rest in pending.items():
                 if rest:
-                    yield rest
+                    yield 0, b, rest + [-1] * (self.batch_size - len(rest))
 
-    def _assemble(self, indices, pool):
-        samples = list(pool.map(self._load_sample, indices))
-        # actual bucket from realized sizes (must agree across the batch
-        # by construction of aspect grouping; take the max to be safe)
-        hs = max(s["image"].shape[0] for s in samples)
-        ws = max(s["image"].shape[1] for s in samples)
-        bucket = self.assigner.assign(hs, ws)
-        return make_batch(samples, bucket, self.max_gt)
+    def _assemble(self, epoch, group_bucket, indices, pool):
+        # this process loads only its interleaved slice of the global
+        # batch (identical across processes for process_count=1)
+        local = indices[self.process_index::self.process_count]
+        samples = list(
+            pool.map(lambda i: self._load_sample(i, epoch), local)
+        )
+        # the bucket is the deterministic aspect-group key, NOT the
+        # realized max size: all processes must compile/run the same
+        # program shape at every step
+        for s in samples:
+            h, w = s["image"].shape[:2]
+            assert h <= group_bucket[0] and w <= group_bucket[1], (
+                (h, w), group_bucket
+            )
+        return make_batch(samples, group_bucket, self.max_gt)
 
     def __iter__(self):
         pool = ThreadPoolExecutor(max_workers=self.num_threads)
@@ -221,8 +303,8 @@ class DetectionLoader:
 
         def producer():
             try:
-                for indices in self._batches_of_indices():
-                    q.put(self._assemble(indices, pool))
+                for epoch, bucket, indices in self._batches_of_indices():
+                    q.put(self._assemble(epoch, bucket, indices, pool))
             finally:
                 q.put(sentinel)
 
@@ -246,6 +328,8 @@ def make_data_loader(cfg, dataset, is_train=True, start_iter=0, seed=0):
     batch_size = (
         cfg.SOLVER.IMS_PER_BATCH if is_train else cfg.TEST.IMS_PER_BATCH
     )
+    import jax
+
     return DetectionLoader(
         dataset,
         transform,
@@ -257,4 +341,6 @@ def make_data_loader(cfg, dataset, is_train=True, start_iter=0, seed=0):
         num_threads=cfg.DATALOADER.NUM_WORKERS,
         start_iter=start_iter,
         max_iter=cfg.SOLVER.MAX_ITER if is_train else None,
+        process_count=jax.process_count() if is_train else 1,
+        process_index=jax.process_index() if is_train else 0,
     )

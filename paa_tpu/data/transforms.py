@@ -92,24 +92,47 @@ class TrainTransform:
         self.rng = random.Random(seed)
         self._lock = __import__("threading").Lock()
 
-    def __call__(self, image, boxes, masks=None):
-        with self._lock:  # the shared RNG is used from loader threads
-            size_draw = self.rng.random()
-            flip_draw = self.rng.random()
+    def __call__(self, image, boxes, masks=None, keypoints=None,
+                 draws=None):
+        """``draws=(size_draw, flip_draw)`` in [0,1) makes the
+        augmentation deterministic per sample — the loader derives them
+        from (seed, epoch, index) so every data-parallel process agrees
+        on realized sizes (and hence bucket shapes) without
+        communication. Without ``draws`` the shared RNG is used (thread
+        order then affects which sample gets which draw)."""
+        if draws is None:
+            with self._lock:  # the shared RNG is used from loader threads
+                size_draw = self.rng.random()
+                flip_draw = self.rng.random()
+        else:
+            size_draw, flip_draw = draws
+        oh, ow = image.shape[:2]
         image, boxes = resize_image_and_boxes(
             image, boxes,
             self.min_sizes[int(size_draw * len(self.min_sizes))],
             self.max_size,
         )
+        if keypoints is not None and len(keypoints):
+            from ..structures.keypoints import resize_keypoints
+
+            nh, nw = image.shape[:2]
+            keypoints = resize_keypoints(keypoints, nw / ow, nh / oh)
         if flip_draw < self.flip_prob:
             image, boxes = hflip_image_and_boxes(image, boxes)
             if masks is not None:
                 # box-normalized masks flip with the image
                 masks = np.ascontiguousarray(masks[:, :, ::-1])
+            if keypoints is not None and len(keypoints):
+                from ..structures.keypoints import flip_keypoints
+
+                keypoints = flip_keypoints(keypoints, image.shape[1])
         image = normalize_image(image, self.pixel_mean, self.pixel_std)
-        if masks is None:
-            return image, boxes
-        return image, boxes, masks
+        out = (image, boxes)
+        if masks is not None:
+            out = out + (masks,)
+        if keypoints is not None:
+            out = out + (keypoints,)
+        return out
 
 
 class EvalTransform:
@@ -119,14 +142,24 @@ class EvalTransform:
         self.pixel_mean = pixel_mean
         self.pixel_std = pixel_std
 
-    def __call__(self, image, boxes=None, masks=None):
+    def __call__(self, image, boxes=None, masks=None, keypoints=None,
+                 draws=None):
+        oh, ow = image.shape[:2]
         image, boxes = resize_image_and_boxes(
             image, boxes, self.min_size, self.max_size
         )
+        if keypoints is not None and len(keypoints):
+            from ..structures.keypoints import resize_keypoints
+
+            nh, nw = image.shape[:2]
+            keypoints = resize_keypoints(keypoints, nw / ow, nh / oh)
         image = normalize_image(image, self.pixel_mean, self.pixel_std)
-        if masks is None:
-            return image, boxes
-        return image, boxes, masks
+        out = (image, boxes)
+        if masks is not None:
+            out = out + (masks,)
+        if keypoints is not None:
+            out = out + (keypoints,)
+        return out
 
 
 def build_transforms(cfg, is_train=True, seed=None):

@@ -44,3 +44,49 @@ def get_rank():
 
 def is_main_process():
     return jax.process_index() == 0
+
+
+def all_gather_pickled(obj):
+    """Gather arbitrary picklable objects from every process (the
+    reference's padded-ByteTensor all_gather, paa_core/utils/comm.py:48-88,
+    rebuilt on jax.experimental.multihost_utils). Returns a list with one
+    entry per process; single-process returns [obj] without touching the
+    device.
+    """
+    if jax.process_count() == 1:
+        return [obj]
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    data = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    local_size = np.asarray([data.size], dtype=np.int64)
+    sizes = np.asarray(
+        multihost_utils.process_allgather(local_size)
+    ).reshape(-1)
+    max_size = int(sizes.max())
+    padded = np.zeros((max_size,), dtype=np.uint8)
+    padded[: data.size] = data
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [
+        pickle.loads(gathered[i, : int(sizes[i])].tobytes())
+        for i in range(jax.process_count())
+    ]
+
+
+def initialize_multihost(logger=None):
+    """Multi-host bootstrap: call jax.distributed.initialize when a
+    coordinator is configured via env (JAX_COORDINATOR_ADDRESS /
+    standard TPU pod metadata). Safe no-op on a single host."""
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized by the runtime
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        jax.distributed.initialize()
+        if logger:
+            logger.info(
+                f"jax.distributed initialized: process "
+                f"{jax.process_index()}/{jax.process_count()}"
+            )

@@ -137,6 +137,9 @@ def test_loader_batches(synthetic_coco):
     total = sum(len(b["image_ids"][b["image_ids"] >= 0]) for b in batches)
     assert total == 3
     for b in batches:
+        # tail batches are padded to the static batch size (one XLA
+        # program per bucket at eval, not one per leftover size)
+        assert b["images"].shape[0] == 2
         assert b["images"].ndim == 4
         assert b["images"].shape[1:3] in [(208, 336), (336, 208)]
         assert b["gt_boxes"].shape[1:] == (10, 4)

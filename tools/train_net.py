@@ -39,6 +39,12 @@ def main():
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
     logger = setup_logger("paa_tpu", output_dir)
+    from paa_tpu.utils.comm import initialize_multihost
+
+    # multi-host slices: bootstrap jax.distributed when a coordinator is
+    # configured (no-op on one host); the loader then shards the global
+    # batch by jax.process_index()
+    initialize_multihost(logger)
     logger.info(f"devices: {jax.devices()}")
     logger.info(f"Running with config:\n{cfg}")
 
