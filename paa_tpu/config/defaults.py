@@ -345,6 +345,14 @@ _C.TPU.MESH_DATA = -1  # -1 = all devices
 _C.TPU.GMM_ITERS = 100
 # base seed for on-device sampling (ROI subsampling rng streams)
 _C.TPU.SEED = 0
+# NMS implementation: 'auto' picks Pallas on TPU / scan elsewhere at
+# trace time; pin 'pallas' or 'scan' for AOT cross-platform tracing
+_C.TPU.NMS_IMPL = "auto"
+# jax.profiler trace capture: when PROFILE_DIR is set, do_train records
+# a trace of steps [PROFILE_START, PROFILE_START + PROFILE_STEPS)
+_C.TPU.PROFILE_DIR = ""
+_C.TPU.PROFILE_START = 10
+_C.TPU.PROFILE_STEPS = 5
 
 # ---------------------------------------------------------------------------
 # Misc

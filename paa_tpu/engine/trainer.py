@@ -64,6 +64,13 @@ def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
         NamedSharding(mesh, P("data")) if mesh.devices.size > 1 else None
     )
 
+    # jax.profiler capture window (SURVEY.md §5: the TPU-native
+    # replacement for the reference's wall-clock-only Timer objects)
+    profile_dir = getattr(cfg.TPU, "PROFILE_DIR", "")
+    profile_start = start_iter + cfg.TPU.PROFILE_START
+    profile_stop = profile_start + cfg.TPU.PROFILE_STEPS
+    profiling = False
+
     start_time = time.time()
     end = time.time()
     prev_metrics = None
@@ -71,6 +78,10 @@ def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
     for batch in loader:
         data_time = time.time() - end
         iteration += 1
+
+        if profile_dir and iteration == profile_start and not profiling:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
 
         hw = batch["images"].shape[1:3]
         step_fn = get_step(hw)
@@ -111,6 +122,11 @@ def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
             logger.info(
                 f"eta: {eta}  iter: {iteration}  {meters}"
             )
+        if profiling and iteration >= profile_stop:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info(f"profiler trace written to {profile_dir}")
         if checkpointer and iteration % checkpoint_period == 0:
             checkpointer.save(
                 f"model_{iteration:07d}",
@@ -122,6 +138,8 @@ def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
         if iteration >= max_iter:
             break
 
+    if profiling:
+        jax.profiler.stop_trace()
     if checkpointer:
         checkpointer.save(
             "model_final",

@@ -231,6 +231,9 @@ def build_backbone(cfg, dtype=jnp.float32):
 def build_detection_model(cfg, dtype=None) -> DetectionModel:
     if dtype is None:
         dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
+    from ..ops.nms import set_nms_impl
+
+    set_nms_impl(cfg.TPU.NMS_IMPL)
     backbone = build_backbone(cfg, dtype=dtype)
     if cfg.MODEL.PAA_ON:
         head = paa_head_from_cfg(cfg, dtype=dtype)

@@ -36,12 +36,31 @@ def _iou_row(box, boxes):
     return inter / (area1 + area2 - inter)
 
 
+_FORCED_IMPL = None  # None = auto; 'pallas' | 'scan' force a backend
+
+
+def set_nms_impl(impl):
+    """Force the NMS implementation ('pallas' | 'scan' | 'auto').
+
+    The automatic choice keys on ``jax.default_backend()`` AT TRACE
+    TIME, which silently picks the scan path if a CPU-traced function is
+    later executed on TPU via AOT; set cfg.TPU.NMS_IMPL (read by
+    build_detection_model) to pin it explicitly in such setups.
+    """
+    global _FORCED_IMPL
+    assert impl in (None, "auto", "pallas", "scan"), impl
+    _FORCED_IMPL = None if impl in (None, "auto") else impl
+
+
 def nms_auto(boxes, scores, labels, valid, iou_threshold, max_out,
              class_aware=True):
     """Backend dispatch: the fused Pallas kernel on TPU (12.9x faster
     than the scan formulation at 5000 candidates), the XLA scan
     elsewhere. Same signature and results as ``nms``."""
-    if jax.default_backend() == "tpu":
+    impl = _FORCED_IMPL or (
+        "pallas" if jax.default_backend() == "tpu" else "scan"
+    )
+    if impl == "pallas":
         from .nms_pallas import nms_pallas
 
         return nms_pallas(
