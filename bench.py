@@ -4,7 +4,8 @@
 Runs the flagship model's full inference path (ResNet-50+FPN+PAA head
 forward + on-device post-processing incl. class-aware NMS and score
 voting) on one chip at the standard COCO eval resolution bucket
-(800x1344), bf16 compute, and reports images/sec/chip.
+(800x1344), bf16 compute, batch 16 (throughput-optimal on v5e; B=8 is
+~9% lower), and reports images/sec/chip.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6);
 its eval loop logs s/img at runtime. A PAA-R50 torch model at batch 1 on
@@ -47,7 +48,7 @@ def main():
 
     model = build_detection_model(cfg)
     hw = (800, 1344)
-    batch = 8
+    batch = 16
 
     variables = model.init(jax.random.PRNGKey(0), hw)
     anchors, counts = model.anchors_for(hw)

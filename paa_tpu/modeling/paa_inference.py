@@ -184,42 +184,84 @@ def _select_level_batched(cls_logits, box_regression, iou_pred, anchors,
     labels (B, K), valid (B, K)) with K = min(pre_nms_top_n, n*C).
     """
     bsz, n, c = cls_logits.shape
-    cls_prob = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    cand = cls_prob > pp.pre_nms_thresh  # threshold on RAW cls scores
-    if iou_pred is not None:
-        iou_prob = jax.nn.sigmoid(iou_pred.astype(jnp.float32))
-        fused = jnp.sqrt(cls_prob * iou_prob[..., None])
-    else:
-        fused = cls_prob
+    m_flat = n * c
+    k = min(pp.pre_nms_top_n, m_flat)
+    cls32 = cls_logits.astype(jnp.float32)
+    iou32 = (
+        None if iou_pred is None else iou_pred.astype(jnp.float32)
+    )
+    # one fused pass: sigmoid + compare, no full score materialization
+    cand = (jax.nn.sigmoid(cls32) > pp.pre_nms_thresh).reshape(
+        bsz, m_flat
+    )
 
-    k = min(pp.pre_nms_top_n, n * c)
-    masked = jnp.where(cand, fused, -1.0).reshape(bsz, n * c)
+    # two-level candidate indexing: per-block counts + tiny prefix; the
+    # j-th candidate is found by one broadcast compare over the block
+    # prefix and one scan over a single gathered S-wide block row. This
+    # costs ~3 ms for all levels at 800x1344 B=8 where a flat cumsum +
+    # vmapped searchsorted over the 1.3M-element array costs ~10 ms and
+    # lax.top_k 15 ms.
+    S = 512
+    pad = (-m_flat) % S
+    blocks = jnp.pad(cand, ((0, 0), (0, pad))).reshape(bsz, -1, S)
+    g = blocks.shape[1]
+    bcount = blocks.sum(axis=2, dtype=jnp.int32)
+    bprefix = jnp.cumsum(bcount, axis=1)  # (B, G) inclusive
+    total = bprefix[:, -1]
+    max_cand = total.max()
 
-    def topk_path(m):
-        s, i = jax.lax.top_k(m, k)
+    def _fused_scores():
+        cls_prob = jax.nn.sigmoid(cls32)
+        if iou32 is None:
+            return cls_prob
+        return jnp.sqrt(cls_prob * jax.nn.sigmoid(iou32)[..., None])
+
+    def topk_path(_):
+        fused = _fused_scores()
+        masked = jnp.where(
+            cand.reshape(bsz, n, c), fused, -1.0
+        ).reshape(bsz, m_flat)
+        s, i = jax.lax.top_k(masked, k)
         return s, i.astype(jnp.int32)
 
-    def compact_path(m):
-        # indices of the j-th candidate via binary search on the
-        # candidate-count cumsum — gathers only, no scatter (a vmapped
-        # 1.3M-element scatter runs ~4x slower than even the top_k on
-        # TPU; this path is ~10x faster than top_k)
-        csum = jnp.cumsum((m > 0.0).astype(jnp.int32), axis=1)
-        targets = jnp.arange(1, k + 1, dtype=jnp.int32)
+    def compact_path(_):
+        targets = jnp.arange(1, k + 1, dtype=jnp.int32)  # (k,)
+        # block of the j-th candidate: #blocks with prefix < j
+        bidx = (
+            bprefix[:, None, :] < targets[None, :, None]
+        ).sum(axis=2, dtype=jnp.int32)  # (B, k)
+        bidx_c = jnp.minimum(bidx, g - 1)
+        base = jnp.where(
+            bidx_c > 0,
+            jnp.take_along_axis(
+                bprefix, jnp.maximum(bidx_c - 1, 0), axis=1
+            ),
+            0,
+        )
+        local_t = targets[None, :] - base  # 1-based rank within block
+        rows = jnp.take_along_axis(
+            blocks.astype(jnp.int32), bidx_c[..., None], axis=1
+        )  # (B, k, S)
+        within = (
+            jnp.cumsum(rows, axis=2) < local_t[..., None]
+        ).sum(axis=2, dtype=jnp.int32)
+        flat_idx = jnp.minimum(bidx_c * S + within, m_flat - 1)
+        slot_valid = targets[None, :] <= total[:, None]
 
-        def row(crow, mrow):
-            idx = jnp.searchsorted(crow, targets, side="left").astype(
-                jnp.int32
+        # scores only for the k selected candidates
+        sel_cls = jnp.take_along_axis(
+            cls32.reshape(bsz, m_flat), flat_idx, axis=1
+        )
+        score = jax.nn.sigmoid(sel_cls)
+        if iou32 is not None:
+            sel_iou = jnp.take_along_axis(
+                iou32, flat_idx // c, axis=1
             )
-            idx = jnp.minimum(idx, crow.shape[0] - 1)
-            s = jnp.where(targets <= crow[-1], mrow[idx], -1.0)
-            return s, idx
+            score = jnp.sqrt(score * jax.nn.sigmoid(sel_iou))
+        return jnp.where(slot_valid, score, -1.0), flat_idx
 
-        return jax.vmap(row)(csum, m)
-
-    max_cand = jnp.max(jnp.sum((masked > 0.0).astype(jnp.int32), axis=1))
     scores, flat_idx = jax.lax.cond(
-        max_cand <= k, compact_path, topk_path, masked
+        max_cand <= k, compact_path, topk_path, 0
     )
     anchor_idx = flat_idx // c
     labels = (flat_idx % c + 1).astype(jnp.int32)
