@@ -430,13 +430,18 @@ class COCOEvaluator:
 def check_expected_results(results, expected_results, sigma_tol,
                            logger=None):
     """Regression assertion (reference coco_eval.py:403-422): each entry
-    ('bbox', metric, mean, std) must satisfy |actual - mean| <
+    (task, metric, mean, std) must satisfy |actual - mean| <
     sigma_tol * std. Raises AssertionError otherwise (the
-    quick_schedules configs rely on this)."""
+    quick_schedules configs rely on this). Tasks: 'bbox' reads the
+    top-level metrics; 'segm'/'keypoints' read the flavor-prefixed
+    entries produced by engine.inference."""
     for task, metric, mean, std in expected_results:
-        if task != "bbox":
+        key = metric if task == "bbox" else f"{task}/{metric}"
+        if key not in results:
+            if logger:
+                logger.warning(f"no result for {task}/{metric}; skipping")
             continue
-        actual = results[metric]
+        actual = results[key]
         lo = mean - sigma_tol * std
         hi = mean + sigma_tol * std
         ok = lo < actual < hi
