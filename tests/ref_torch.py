@@ -40,7 +40,45 @@ def install_shims() -> None:
         sys.modules["yacs.config"] = yacs_config
     if "paa_core._C" not in sys.modules:
 
+        def _py_nms(boxes, scores, threshold):
+            """Pure-torch greedy NMS with the +1 IoU convention
+            (csrc/cpu/nms_cpu.cpp semantics)."""
+            import torch
+
+            order = torch.argsort(scores, descending=True)
+            keep = []
+            suppressed = torch.zeros(len(boxes), dtype=torch.bool)
+            areas = (
+                (boxes[:, 2] - boxes[:, 0] + 1)
+                * (boxes[:, 3] - boxes[:, 1] + 1)
+            )
+            for i in order.tolist():
+                if suppressed[i]:
+                    continue
+                keep.append(i)
+                lt = torch.maximum(boxes[i, :2], boxes[:, :2])
+                rb = torch.minimum(boxes[i, 2:], boxes[:, 2:])
+                wh = (rb - lt + 1).clamp(min=0)
+                inter = wh[:, 0] * wh[:, 1]
+                iou = inter / (areas[i] + areas - inter)
+                suppressed |= iou > threshold
+            return torch.as_tensor(keep, dtype=torch.long)
+
+        def _py_ml_nms(boxes, scores, labels, threshold):
+            """Class-aware NMS: offset boxes per label so cross-class
+            IoU is 0 (ml_nms.cu:13-15 semantics). float64: an f32
+            coordinate offset by label*1e5 loses sub-pixel precision
+            and changes IoUs."""
+            offset = labels.double().reshape(-1, 1) * 100000.0
+            return _py_nms(boxes.double() + offset, scores, threshold)
+
         class _CStub(types.ModuleType):
+            """Raises on CUDA-only ops; provides real python nms/ml_nms
+            so the reference post-processing runs on CPU."""
+
+            nms = staticmethod(_py_nms)
+            ml_nms = staticmethod(_py_ml_nms)
+
             def __getattr__(self, name):
                 if name.startswith("__"):
                     raise AttributeError(name)
