@@ -348,6 +348,13 @@ _C.TPU.SEED = 0
 # NMS implementation: 'auto' picks Pallas on TPU / scan elsewhere at
 # trace time; pin 'pallas' or 'scan' for AOT cross-platform tracing
 _C.TPU.NMS_IMPL = "auto"
+# exact space-to-depth stem: replace the 7x7/2 conv on the 3-channel
+# image with the equivalent 4x4/1 conv on the 2x2-space-to-depth input
+# (weight import transforms the kernel). Off by default: in the full
+# fused program it measured neutral-to-slightly-slower on v5e at
+# 800x1344 (the isolated stem conv is 2x faster, but the input
+# transpose eats the gain); kept as an option for other shapes/chips
+_C.TPU.SPACE_TO_DEPTH = False
 # jax.profiler trace capture: when PROFILE_DIR is set, do_train records
 # a trace of steps [PROFILE_START, PROFILE_START + PROFILE_STEPS)
 _C.TPU.PROFILE_DIR = ""

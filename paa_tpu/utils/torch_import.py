@@ -27,6 +27,23 @@ def _conv_to_nhwc(w):
     return np.transpose(w, (2, 3, 1, 0))
 
 
+def stem_kernel_to_s2d(k_hwio):
+    """(7, 7, C, O) stem kernel -> the exact (4, 4, 4C, O) kernel for
+    the 2x2-space-to-depth stem (modeling/resnet.py Stem): pad to 8x8
+    with a leading zero row/col, then
+    K2[a, b, (dy*2 + dx)*C + c] = W8[2a + dy, 2b + dx, c]."""
+    kh, kw, c, o = k_hwio.shape
+    assert (kh, kw) == (7, 7), k_hwio.shape
+    w8 = np.zeros((8, 8, c, o), k_hwio.dtype)
+    w8[1:, 1:] = k_hwio
+    k2 = np.zeros((4, 4, 4 * c, o), k_hwio.dtype)
+    for dy in range(2):
+        for dx in range(2):
+            sl = slice((dy * 2 + dx) * c, (dy * 2 + dx) * c + c)
+            k2[:, :, sl] = w8[dy::2, dx::2]
+    return k2
+
+
 def torch_name_to_flax_path(name):
     """Map a reference torch state-dict key to a flax param path
     (tuple of keys) + a transform tag ('conv'|'copy'|'scalar')."""
@@ -152,10 +169,19 @@ def _set_path(tree, path, value):
         return False
     expect = node[path[-1]]
     if tuple(np.shape(expect)) != tuple(np.shape(value)):
-        raise ValueError(
-            f"shape mismatch at {'/'.join(path)}: "
-            f"{np.shape(expect)} vs {np.shape(value)}"
-        )
+        # space-to-depth stem: transform the 7x7xCx O kernel to the
+        # equivalent 4x4x4C kernel the s2d Stem expects
+        if (
+            np.shape(value)[:2] == (7, 7)
+            and tuple(np.shape(expect))
+            == (4, 4, 4 * np.shape(value)[2], np.shape(value)[3])
+        ):
+            value = stem_kernel_to_s2d(value)
+        else:
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: "
+                f"{np.shape(expect)} vs {np.shape(value)}"
+            )
     node[path[-1]] = value.astype(np.float32)
     return True
 

@@ -86,3 +86,40 @@ def test_level_arithmetic_800x1344(built):
     cfg, model, variables = built
     shapes = model.feature_shapes((800, 1344))
     assert shapes == [(100, 168), (50, 84), (25, 42), (13, 21), (7, 11)]
+
+
+def test_space_to_depth_stem_is_exact():
+    """The 2x2-space-to-depth stem (TPU.SPACE_TO_DEPTH) + transformed
+    kernel must reproduce the normal 7x7/2 stem bit-for-tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from paa_tpu.modeling.resnet import Stem
+    from paa_tpu.utils.torch_import import stem_kernel_to_s2d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 96, 3)).astype(np.float32))
+
+    normal = Stem(out_channels=16)
+    v = normal.init(jax.random.PRNGKey(0), x)
+    # randomize the conv kernel + bn params
+    tree = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            rng.normal(0, 0.5, a.shape).astype(np.float32)
+        ),
+        v,
+    )
+    tree["params"]["bn1"]["running_var"] = jnp.abs(
+        tree["params"]["bn1"]["running_var"]
+    ) + 0.5
+    y_ref = normal.apply(tree, x)
+
+    s2d = Stem(out_channels=16, space_to_depth=True)
+    v2 = jax.tree_util.tree_map(lambda a: a, tree)
+    v2["params"]["conv1"]["kernel"] = jnp.asarray(
+        stem_kernel_to_s2d(np.asarray(tree["params"]["conv1"]["kernel"]))
+    )
+    y_s2d = s2d.apply(v2, x)
+    np.testing.assert_allclose(
+        np.asarray(y_s2d), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+    )
