@@ -33,15 +33,19 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Any = struct.field(pytree_node=False)
+    # mutable model state: SyncBatchNorm running statistics
+    # (MODEL.USE_SYNCBN); None for the FrozenBN/GN default models
+    batch_stats: Any = None
 
     @classmethod
-    def create(cls, apply_fn, params, tx):
+    def create(cls, apply_fn, params, tx, batch_stats=None):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
             tx=tx,
             apply_fn=apply_fn,
+            batch_stats=batch_stats,
         )
 
 
@@ -57,7 +61,7 @@ def make_train_step(apply_fn, anchors, level_counts, loss_cfg: PAALossConfig,
     anchors = jnp.asarray(anchors, jnp.float32)
     counts = tuple(level_counts)
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch_stats, batch):
         if param_label_tree is not None:
             params = jax.tree_util.tree_map(
                 lambda p, label: (
@@ -66,7 +70,18 @@ def make_train_step(apply_fn, anchors, level_counts, loss_cfg: PAALossConfig,
                 params,
                 param_label_tree,
             )
-        outputs = apply_fn({"params": params}, batch["images"])
+        if batch_stats is not None:
+            # SyncBatchNorm: batch stats over the GLOBAL (sharded)
+            # batch are the cross-replica sync; running stats update
+            outputs, mutated = apply_fn(
+                {"params": params, "batch_stats": batch_stats},
+                batch["images"],
+                mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            outputs = apply_fn({"params": params}, batch["images"])
+            new_stats = None
         losses = loss_call(
             outputs,
             batch["gt_boxes"],
@@ -79,12 +94,12 @@ def make_train_step(apply_fn, anchors, level_counts, loss_cfg: PAALossConfig,
         total = sum(
             v for k, v in losses.items() if k.startswith("loss_")
         )
-        return total, losses
+        return total, (losses, new_stats)
 
     def train_step(state: TrainState, batch):
-        (total, losses), grads = jax.value_and_grad(
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, batch)
+        )(state.params, state.batch_stats, batch)
         updates, new_opt_state = state.tx.update(
             grads, state.opt_state, state.params
         )
@@ -93,6 +108,9 @@ def make_train_step(apply_fn, anchors, level_counts, loss_cfg: PAALossConfig,
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt_state,
+            batch_stats=(
+                new_stats if new_stats is not None else state.batch_stats
+            ),
         )
         metrics = dict(losses)
         metrics["loss"] = total

@@ -25,6 +25,13 @@ from ..utils.metric_logger import MetricLogger
 from .train_step import TrainState, jit_train_step, make_train_step
 
 
+def _state_tree(state):
+    tree = {"params": state.params, "opt_state": state.opt_state}
+    if state.batch_stats is not None:
+        tree["batch_stats"] = state.batch_stats
+    return tree
+
+
 def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
              start_iter=0, logger=None):
     logger = logger or logging.getLogger("paa_tpu.trainer")
@@ -130,9 +137,7 @@ def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
         if checkpointer and iteration % checkpoint_period == 0:
             checkpointer.save(
                 f"model_{iteration:07d}",
-                jax.device_get(
-                    {"params": state.params, "opt_state": state.opt_state}
-                ),
+                jax.device_get(_state_tree(state)),
                 iteration=iteration,
             )
         if iteration >= max_iter:
@@ -143,9 +148,7 @@ def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
     if checkpointer:
         checkpointer.save(
             "model_final",
-            jax.device_get(
-                {"params": state.params, "opt_state": state.opt_state}
-            ),
+            jax.device_get(_state_tree(state)),
             iteration=iteration,
         )
     total = time.time() - start_time

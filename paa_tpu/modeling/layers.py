@@ -52,6 +52,34 @@ class FrozenBatchNorm(nn.Module):
         return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
+class SyncBatchNorm(nn.Module):
+    """Trainable BatchNorm whose statistics are GLOBAL-batch statistics.
+
+    The reference wraps models in torch.nn.SyncBatchNorm when
+    MODEL.USE_SYNCBN (tools/train_net.py:35-38) so BN stats sync across
+    GPUs. Under pjit the train step is ONE program over the global
+    (data-sharded) batch, so plain jnp.mean/var over the batch axis IS
+    the cross-replica reduction — no axis_name or explicit collective
+    needed. Training (apply with mutable=['batch_stats']) normalizes by
+    batch statistics and updates the running stats; eval (immutable
+    apply) uses the running averages.
+    """
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        train = self.is_mutable_collection("batch_stats")
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            name="bn",
+        )(x)
+
+
 def conv(
     features,
     kernel_size,

@@ -40,6 +40,10 @@ def make_norm(kind: str, features: int, name: str):
         return FrozenBatchNorm(features, name=name)
     elif kind == "gn":
         return GroupNorm32(features, name=name)
+    elif kind == "sync_bn":
+        from .layers import SyncBatchNorm
+
+        return SyncBatchNorm(features, name=name)
     raise ValueError(kind)
 
 
@@ -223,6 +227,9 @@ class ResNet(nn.Module):
 def resnet_from_cfg(cfg, dtype=jnp.float32):
     trans = cfg.MODEL.RESNETS.TRANS_FUNC
     norm = "gn" if trans == "BottleneckWithGN" else "frozen_bn"
+    if cfg.MODEL.USE_SYNCBN:
+        # reference: SyncBatchNorm.convert_sync_batchnorm over the model
+        norm = "sync_bn"
     return ResNet(
         body=cfg.MODEL.BACKBONE.CONV_BODY,
         num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,

@@ -72,6 +72,7 @@ def train(cfg, logger):
     init_hw = tuple(cfg.TPU.TRAIN_BUCKETS[0])
     variables = model.init(jax.random.PRNGKey(0), init_hw)
     params = variables["params"]
+    batch_stats = variables.get("batch_stats")  # SyncBN running stats
 
     # pretrained / resume weights
     checkpointer = Checkpointer(cfg.OUTPUT_DIR, logger=logger)
@@ -79,7 +80,9 @@ def train(cfg, logger):
     weight = cfg.MODEL.WEIGHT
     if checkpointer.has_checkpoint():
         tx, _ = make_optimizer(cfg, params)
-        state = TrainState.create(model.module.apply, params, tx)
+        state = TrainState.create(
+            model.module.apply, params, tx, batch_stats=batch_stats
+        )
         tree, extra = checkpointer.load(
             None, {"params": state.params, "opt_state": state.opt_state}
         )
@@ -97,7 +100,9 @@ def train(cfg, logger):
 
             params = load_pretrained_into(cfg, params, weight, logger)
         tx, _ = make_optimizer(cfg, params)
-        state = TrainState.create(model.module.apply, params, tx)
+        state = TrainState.create(
+            model.module.apply, params, tx, batch_stats=batch_stats
+        )
 
     dataset = build_dataset(cfg, cfg.DATASETS.TRAIN, is_train=True)
     logger.info(f"train dataset: {len(dataset)} images")
@@ -118,8 +123,11 @@ def run_test(cfg, model, state, logger):
         datasets = [datasets]
     for name, dataset in zip(cfg.DATASETS.TEST, datasets):
         output_folder = os.path.join(cfg.OUTPUT_DIR, "inference", name)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
         inference(
-            cfg, model, {"params": state.params}, dataset,
+            cfg, model, variables, dataset,
             output_folder=output_folder, logger=logger,
         )
 
