@@ -37,12 +37,14 @@ def eval_checkpoint(cfg, model, variables, ckpt_path, logger):
         checkpointer = Checkpointer(
             os.path.dirname(ckpt_path) or ".", logger=logger
         )
-        tree, _ = checkpointer.load(
-            ckpt_path,
-            {"params": variables["params"], "opt_state": None},
-        )
+        template = {"params": variables["params"], "opt_state": None}
+        if "batch_stats" in variables:  # SyncBN running stats
+            template["batch_stats"] = variables["batch_stats"]
+        tree, _ = checkpointer.load(ckpt_path, template)
         if tree is not None:
             variables = {"params": tree["params"]}
+            if tree.get("batch_stats") is not None:
+                variables["batch_stats"] = tree["batch_stats"]
 
     datasets = build_dataset(cfg, cfg.DATASETS.TEST, is_train=False)
     if not isinstance(datasets, list):
