@@ -234,6 +234,17 @@ def build_detection_model(cfg, dtype=None) -> DetectionModel:
     from ..ops.nms import set_nms_impl
 
     set_nms_impl(cfg.TPU.NMS_IMPL)
+    dense = (
+        cfg.MODEL.PAA_ON or cfg.MODEL.ATSS_ON or cfg.MODEL.FCOS_ON
+        or cfg.MODEL.RETINANET_ON
+    )
+    if not dense and not cfg.MODEL.RPN_ONLY:
+        # Faster/Mask/Keypoint R-CNN incl. single-level C4/FBNet bodies
+        # (reference GeneralizedRCNN with ROI heads) — TwoStageModel
+        # exposes the same engine protocol as DetectionModel
+        from .two_stage import build_faster_rcnn
+
+        return build_faster_rcnn(cfg, dtype=dtype)
     backbone = build_backbone(cfg, dtype=dtype)
     if cfg.MODEL.PAA_ON:
         head = paa_head_from_cfg(cfg, dtype=dtype)
@@ -262,14 +273,6 @@ def build_detection_model(cfg, dtype=None) -> DetectionModel:
         anchor_gen = make_anchor_generator_retinanet(cfg)
         strides = tuple(cfg.MODEL.RETINANET.ANCHOR_STRIDES)
         head_type = "retinanet"
-    elif not cfg.MODEL.RPN_ONLY:
-        # Faster/Mask R-CNN (reference GeneralizedRCNN with ROI heads,
-        # generalized_rcnn.py:33-65) — returns a TwoStageModel exposing
-        # the same engine protocol (train_batch_keys,
-        # make_bucket_train_step, make_eval_fn) as DetectionModel
-        from .two_stage import build_faster_rcnn
-
-        return build_faster_rcnn(cfg, dtype=dtype)
     else:
         raise NotImplementedError(
             "RPN-only proposal models (box-proposal AR evaluation) are "

@@ -336,3 +336,98 @@ def fbnet_from_cfg(cfg, dtype=jnp.float32):
         bn_type=f.BN_TYPE,
         dtype=dtype,
     )
+
+
+class FBNetRPNHead(nn.Module):
+    """FBNet RPN head (fbnet.py FBNetRPNHead + rpn.RPNHeadConvRegressor):
+    the arch's 'rpn' stage blocks on each feature map, then 1x1
+    objectness / box-delta convs."""
+
+    arch: str = "default"
+    num_anchors: int = 15
+    width_ratio: float = 1.0
+    width_divisor: int = 1
+    bn_type: str = "bn"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features):
+        from .layers import head_normal_init
+
+        stages = FBNetStages(
+            blocks=tuple(expanded_blocks(FBNET_ARCHS[self.arch], "rpn")),
+            width_ratio=self.width_ratio,
+            width_divisor=self.width_divisor,
+            bn_type=self.bn_type,
+            dtype=self.dtype,
+            name="rpn_stages",
+        )
+        cls_logits = conv(
+            self.num_anchors, 1, use_bias=True,
+            kernel_init=head_normal_init, dtype=self.dtype,
+            name="cls_logits",
+        )
+        bbox_pred = conv(
+            self.num_anchors * 4, 1, use_bias=True,
+            kernel_init=head_normal_init, dtype=self.dtype,
+            name="bbox_pred",
+        )
+        logits, reg = [], []
+        for f in features:
+            t = stages(f)
+            b = f.shape[0]
+            logits.append(cls_logits(t).reshape(b, -1))
+            reg.append(bbox_pred(t).reshape(b, -1, 4))
+        return {
+            "objectness": jnp.concatenate(logits, axis=1),
+            "box_regression": jnp.concatenate(reg, axis=1),
+        }
+
+
+class FBNetROIBoxHead(nn.Module):
+    """FBNet box head (fbnet.py FBNetROIHead with head_name='bbox' +
+    FastRCNNPredictor): pool the single trunk map, run the arch's
+    'bbox' stage blocks, average pool, linear cls/box predictors."""
+
+    arch: str = "default"
+    num_classes: int = 81  # INCLUDING background
+    resolution: int = 6
+    scale: float = 1.0 / 16
+    sampling_ratio: int = 2
+    width_ratio: float = 1.0
+    width_divisor: int = 1
+    bn_type: str = "bn"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, proposals, proposal_batch_idx):
+        from flax import linen as fnn
+
+        from ..ops.roi_align import roi_align
+
+        x = roi_align(
+            features[0], proposals, proposal_batch_idx,
+            (self.resolution, self.resolution), self.scale,
+            self.sampling_ratio,
+        )
+        x = FBNetStages(
+            blocks=tuple(expanded_blocks(FBNET_ARCHS[self.arch], "bbox")),
+            width_ratio=self.width_ratio,
+            width_divisor=self.width_divisor,
+            bn_type=self.bn_type,
+            dtype=self.dtype,
+            name="bbox_stages",
+        )(x)
+        x = x.astype(jnp.float32).mean(axis=(1, 2))
+        r = x.shape[0]
+        cls_logits = fnn.Dense(
+            self.num_classes,
+            kernel_init=fnn.initializers.normal(0.01),
+            name="cls_score",
+        )(x)
+        box_deltas = fnn.Dense(
+            self.num_classes * 4,
+            kernel_init=fnn.initializers.normal(0.001),
+            name="bbox_pred",
+        )(x)
+        return cls_logits, box_deltas.reshape(r, self.num_classes, 4)

@@ -219,3 +219,53 @@ def roi_box_postprocess(cls_logits, box_deltas, rois, roi_valid,
         "labels": jnp.where(kvalid, labels[kidx], 0),
         "valid": kvalid,
     }
+
+
+class Res5ROIBoxHead(nn.Module):
+    """C4 box head (reference roi_heads/box_head
+    ResNet50Conv5ROIFeatureExtractor + FastRCNNPredictor): ROIAlign
+    14x14 at 1/16 on the single C4 map, the res5 stage (3 bottlenecks,
+    stride 2 in the first), global average pool, linear cls +
+    class-specific box deltas."""
+
+    num_classes: int  # INCLUDING background
+    resolution: int = 14
+    scale: float = 1.0 / 16
+    sampling_ratio: int = 2
+    num_groups: int = 1
+    width_per_group: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, proposals, proposal_batch_idx):
+        from ..ops.roi_align import roi_align
+        from .resnet import Bottleneck
+
+        x = roi_align(
+            features[0], proposals, proposal_batch_idx,
+            (self.resolution, self.resolution), self.scale,
+            self.sampling_ratio,
+        )
+        bottleneck = self.num_groups * self.width_per_group * 8
+        for b in range(3):
+            x = Bottleneck(
+                bottleneck_channels=bottleneck,
+                out_channels=2048,
+                stride=2 if b == 0 else 1,
+                num_groups=self.num_groups,
+                dtype=self.dtype,
+                name=f"layer4_{b}",
+            )(x)
+        x = x.astype(jnp.float32).mean(axis=(1, 2))
+        r = x.shape[0]
+        cls_logits = nn.Dense(
+            self.num_classes,
+            kernel_init=nn.initializers.normal(0.01),
+            name="cls_score",
+        )(x)
+        box_deltas = nn.Dense(
+            self.num_classes * 4,
+            kernel_init=nn.initializers.normal(0.001),
+            name="bbox_pred",
+        )(x)
+        return cls_logits, box_deltas.reshape(r, self.num_classes, 4)

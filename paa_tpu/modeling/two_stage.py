@@ -189,10 +189,9 @@ class TwoStageModel:
 
 
 def build_faster_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
-    assert "FPN" in cfg.MODEL.BACKBONE.CONV_BODY, (
-        "the two-stage path needs an FPN body, e.g. R-50-FPN "
-        f"(got {cfg.MODEL.BACKBONE.CONV_BODY})"
-    )
+    body = cfg.MODEL.BACKBONE.CONV_BODY
+    if "FPN" not in body:
+        return _build_single_level_rcnn(cfg, dtype)
     resnet = resnet_from_cfg(cfg, dtype=dtype)
     backbone = ResNetFPNBackbone(
         resnet=resnet,
@@ -247,6 +246,104 @@ def build_faster_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
     )
     return TwoStageModel(
         cfg=cfg, module=module, anchor_generator=anchor_gen
+    )
+
+
+class _SingleLevelBackbone(nn.Module):
+    """Wraps a body that returns multiple stages into a single-level
+    feature list (the C4 path keeps only the last map)."""
+
+    body: nn.Module
+
+    def __call__(self, x):
+        feats = self.body(x)
+        return [feats[-1]] if isinstance(feats, (list, tuple)) else [feats]
+
+
+def _build_single_level_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
+    """C4 (e.g. R-50-C4) and FBNet two-stage models: one stride-16
+    feature map, a single-level RPN with all anchor sizes at that
+    stride (reference make_anchor_generator for non-FPN RPN), and a
+    res5 / FBNet-stage box head (reference
+    roi_heads/box_head/roi_box_feature_extractors.py,
+    backbone/fbnet.py FBNetROIHead)."""
+    body = cfg.MODEL.BACKBONE.CONV_BODY
+    num_anchors = (
+        len(cfg.MODEL.RPN.ANCHOR_SIZES) * len(cfg.MODEL.RPN.ASPECT_RATIOS)
+    )
+    stride = cfg.MODEL.RPN.ANCHOR_STRIDE[0]
+
+    if body == "FBNet":
+        from .fbnet import (
+            FBNetROIBoxHead,
+            FBNetRPNHead,
+            FBNetTrunk,
+            fbnet_trunk_stride,
+        )
+
+        f = cfg.MODEL.FBNET
+        assert fbnet_trunk_stride(f.ARCH) == stride, (
+            f"FBNet trunk stride {fbnet_trunk_stride(f.ARCH)} != "
+            f"RPN.ANCHOR_STRIDE {stride}"
+        )
+        backbone = _SingleLevelBackbone(
+            body=FBNetTrunk(
+                arch=f.ARCH, width_ratio=f.SCALE_FACTOR,
+                width_divisor=f.WIDTH_DIVISOR, bn_type=f.BN_TYPE,
+                dtype=dtype,
+            )
+        )
+        rpn_head = FBNetRPNHead(
+            arch=f.ARCH, num_anchors=num_anchors,
+            width_ratio=f.SCALE_FACTOR, width_divisor=f.WIDTH_DIVISOR,
+            bn_type=f.BN_TYPE, dtype=dtype,
+        )
+        box_head = FBNetROIBoxHead(
+            arch=f.ARCH,
+            num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
+            resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            scale=1.0 / stride,
+            width_ratio=f.SCALE_FACTOR, width_divisor=f.WIDTH_DIVISOR,
+            bn_type=f.BN_TYPE, dtype=dtype,
+        )
+    else:
+        from .roi_box_head import Res5ROIBoxHead
+
+        assert body.endswith("-C4"), (
+            f"single-level two-stage path supports C4 and FBNet bodies "
+            f"(got {body})"
+        )
+        backbone = _SingleLevelBackbone(
+            body=resnet_from_cfg(cfg, dtype=dtype)
+        )
+        rpn_head = RPNHead(
+            num_anchors=num_anchors, in_channels=1024, dtype=dtype
+        )
+        box_head = Res5ROIBoxHead(
+            num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
+            resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION
+            if cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION >= 14 else 14,
+            scale=1.0 / stride,
+            num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,
+            width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+            dtype=dtype,
+        )
+
+    anchor_gen = AnchorGenerator(
+        sizes=(tuple(cfg.MODEL.RPN.ANCHOR_SIZES),),  # ALL sizes, 1 level
+        aspect_ratios=tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
+        strides=(stride,),
+    )
+    assert not cfg.MODEL.MASK_ON and not cfg.MODEL.KEYPOINT_ON, (
+        "mask/keypoint branches are implemented for the FPN two-stage "
+        "path; C4/FBNet configs are box-only here"
+    )
+    module = FasterRCNN(
+        backbone=backbone, rpn_head=rpn_head, box_head=box_head,
+    )
+    return TwoStageModel(
+        cfg=cfg, module=module, anchor_generator=anchor_gen,
+        strides=(stride,),
     )
 
 

@@ -158,3 +158,95 @@ def test_mask_rcnn_cli_path_with_segm_eval(tiny_coco, tmp_path):
     # bbox metrics plus the segm flavor
     assert set(results) >= {"AP", "AP50"}
     assert any(k.startswith("segm/") for k in results), sorted(results)
+
+
+@pytest.mark.slow
+def test_c4_faster_rcnn_engine_path(tiny_coco, tmp_path):
+    """R-50-C4 (single-level) Faster R-CNN: build via
+    build_detection_model, run train steps + inference through the
+    engine (reference e2e_faster_rcnn_R_50_C4_1x.yaml path)."""
+    ann_file, img_dir = tiny_coco
+    cfg = two_stage_cfg(tmp_path / "c4")
+    cfg.MODEL.BACKBONE.CONV_BODY = "R-50-C4"
+    cfg.MODEL.RPN.ANCHOR_SIZES = (32, 64, 128, 256, 512)
+    cfg.MODEL.RPN.ANCHOR_STRIDE = (16,)
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 8
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 8
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 14
+    cfg.SOLVER.MAX_ITER = 1
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+
+    from paa_tpu.data.coco import COCODataset
+    from paa_tpu.engine.inference import inference
+    from paa_tpu.engine.train_step import TrainState
+    from paa_tpu.engine.trainer import do_train
+    from paa_tpu.modeling import build_detection_model
+    from paa_tpu.solver import make_optimizer
+    from paa_tpu.utils.comm import get_data_mesh
+
+    model = build_detection_model(cfg)
+    assert model.strides == (16,)
+    dataset = COCODataset(ann_file, img_dir)
+    mesh = get_data_mesh(1)
+    variables = model.init(jax.random.PRNGKey(0), (64, 96))
+    tx, _ = make_optimizer(cfg, variables["params"])
+    state = TrainState.create(model.module.apply, variables["params"], tx)
+
+    state = do_train(cfg, model, state, dataset, mesh)
+    assert int(state.step) == 1
+
+    eval_dataset = COCODataset(
+        ann_file, img_dir, remove_images_without_annotations=False
+    )
+    results = inference(cfg, model, {"params": state.params}, eval_dataset)
+    assert set(results) >= {"AP", "AP50"}
+
+
+def test_fbnet_faster_rcnn_builds_and_steps():
+    """FBNet-body two-stage model (reference e2e_faster_rcnn_fbnet.yaml):
+    one jitted train step with finite losses."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from paa_tpu.config import get_cfg
+    from paa_tpu.engine import TrainState, jit_train_step
+    from paa_tpu.modeling import build_detection_model
+    from paa_tpu.solver import make_optimizer
+
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.CONV_BODY = "FBNet"
+    cfg.MODEL.FBNET.ARCH = "default"
+    cfg.MODEL.FBNET.WIDTH_DIVISOR = 8
+    cfg.MODEL.RPN.ANCHOR_SIZES = (16, 32, 64, 128, 256)
+    cfg.MODEL.RPN.ANCHOR_STRIDE = (16,)
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = 50
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 16
+    cfg.MODEL.RPN.FPN_POST_NMS_TOP_N_TRAIN = 32
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 8
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 6
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 5
+
+    model = build_detection_model(cfg)
+    hw = (64, 64)
+    variables = model.init(jax.random.PRNGKey(0), hw)
+    tx, labels = make_optimizer(cfg, variables["params"])
+    state = TrainState.create(model.module.apply, variables["params"], tx)
+    step_fn = model.make_bucket_train_step(hw, param_label_tree=labels)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    step = jit_train_step(step_fn, mesh)
+    batch = {
+        "images": jnp.zeros((1, *hw, 3), jnp.float32),
+        "gt_boxes": jnp.asarray([[[4, 4, 30, 30], [0, 0, 0, 0]]],
+                                jnp.float32),
+        "gt_labels": jnp.asarray([[2, 0]], jnp.int32),
+        "image_sizes": jnp.asarray([[64.0, 64.0]]),
+    }
+    state, metrics = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert {"loss_objectness", "loss_classifier"} <= set(metrics)
+
+    # eval path produces fixed-shape detections
+    fn = model.make_eval_fn({"params": state.params})
+    det = fn(batch["images"], batch["image_sizes"])
+    assert det["boxes"].shape[0] == 1 and det["boxes"].shape[2] == 4
