@@ -143,6 +143,53 @@ def inference(cfg, model, variables, dataset, output_folder=None,
             f"{model_time:.1f}s ({model_time / n_images:.4f} s/img)"
         )
 
+    if getattr(model, "head_type", "") == "rpn":
+        # box-proposal AR evaluation (reference coco_eval.py:189-300 +
+        # COCOResults 'box_proposal' table) instead of COCO AP
+        from ..evaluation.coco_eval import evaluate_box_proposals
+
+        proposals = {}
+        for img_id, p in predictions.items():
+            xywh = np.asarray(p["boxes_xywh"], np.float64)
+            proposals[img_id] = dict(
+                boxes=np.stack(
+                    [
+                        xywh[:, 0],
+                        xywh[:, 1],
+                        xywh[:, 0] + xywh[:, 2] - 1.0,
+                        xywh[:, 1] + xywh[:, 3] - 1.0,
+                    ],
+                    axis=1,
+                ) if len(xywh) else np.zeros((0, 4))
+            )
+        image_ids = [r.id for r in dataset.records]
+        results = {}
+        for limit in (100, 1000):
+            for aname, akey in (
+                ("", "all"), ("s", "small"), ("m", "medium"),
+                ("l", "large"),
+            ):
+                stats = evaluate_box_proposals(
+                    proposals, dataset._raw_annotations, image_ids,
+                    area=akey, limit=limit,
+                )
+                results[f"AR{aname}@{limit}"] = stats["ar"]
+        logger.info(
+            "box_proposal:\n" + "\n".join(
+                f"{k}: {v:.4f}" for k, v in results.items()
+            )
+        )
+        if output_folder:
+            import json as _json
+            import os as _os
+
+            _os.makedirs(output_folder, exist_ok=True)
+            with open(
+                _os.path.join(output_folder, "box_proposals.json"), "w"
+            ) as f:
+                _json.dump(results, f, indent=2)
+        return results
+
     # map contiguous labels -> json category ids
     cat_ids = sorted(dataset.contiguous_category_id_to_json_id.values())
     detections: Dict[int, dict] = {}

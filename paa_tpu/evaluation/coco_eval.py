@@ -465,3 +465,95 @@ def format_results(results, task="bbox"):
         if k not in METRICS and "/" not in k:
             lines.append(f"{k}: {results[k]:.4f}")
     return "\n".join(lines)
+
+
+PROPOSAL_AREAS = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+
+
+def evaluate_box_proposals(proposals, gt_by_image, image_ids,
+                           thresholds=None, area="all", limit=None):
+    """Proposal recall (reference coco_eval.py:189-300
+    evaluate_box_proposals): greedily match each GT to its best-covering
+    proposal, collect coverage IoUs, and average recall over IoU
+    thresholds 0.5:0.05:0.95.
+
+    proposals: img_id -> dict(boxes (n, 4) xyxy in ORIGINAL image
+    coords sorted by descending objectness, already the NMS pick order).
+    """
+    lo, hi = PROPOSAL_AREAS[area]
+    gt_overlaps = []
+    num_pos = 0
+    for img_id in image_ids:
+        anns = [
+            a for a in gt_by_image.get(img_id, [])
+            if not a.get("iscrowd", 0)
+        ]
+        if not anns:
+            continue
+        g_xywh = np.asarray([a["bbox"] for a in anns], np.float64)
+        g_areas = np.asarray(
+            [a.get("area", b[2] * b[3]) for a, b in zip(anns, g_xywh)]
+        )
+        keep = (g_areas >= lo) & (g_areas <= hi)
+        gt = np.stack(
+            [
+                g_xywh[:, 0],
+                g_xywh[:, 1],
+                g_xywh[:, 0] + g_xywh[:, 2] - 1.0,  # xywh->xyxy, +1 conv
+                g_xywh[:, 1] + g_xywh[:, 3] - 1.0,
+            ],
+            axis=1,
+        )[keep]
+        num_pos += len(gt)
+        if not len(gt):
+            continue
+        pred = proposals.get(img_id)
+        if pred is None or not len(pred["boxes"]):
+            continue
+        boxes = np.asarray(pred["boxes"], np.float64)
+        if limit is not None and len(boxes) > limit:
+            boxes = boxes[:limit]
+
+        # +1-convention pairwise IoU (boxlist_iou)
+        a1 = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+        a2 = (gt[:, 2] - gt[:, 0] + 1) * (gt[:, 3] - gt[:, 1] + 1)
+        lt = np.maximum(boxes[:, None, :2], gt[None, :, :2])
+        rb = np.minimum(boxes[:, None, 2:], gt[None, :, 2:])
+        wh = np.clip(rb - lt + 1, 0, None)
+        overlaps = wh[..., 0] * wh[..., 1] / (
+            a1[:, None] + a2[None, :] - wh[..., 0] * wh[..., 1]
+        )
+
+        covered = np.zeros(len(gt))
+        for j in range(min(len(boxes), len(gt))):
+            per_gt = overlaps.max(axis=0)
+            gi = int(per_gt.argmax())
+            bi = int(overlaps[:, gi].argmax())
+            covered[j] = overlaps[bi, gi]
+            overlaps[bi, :] = -1
+            overlaps[:, gi] = -1
+        gt_overlaps.append(covered)
+
+    gt_overlaps = (
+        np.sort(np.concatenate(gt_overlaps)) if gt_overlaps
+        else np.zeros((0,))
+    )
+    if thresholds is None:
+        thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05)
+    recalls = np.asarray(
+        [
+            (gt_overlaps >= t).sum() / max(num_pos, 1)
+            for t in thresholds
+        ]
+    )
+    return {
+        "ar": float(recalls.mean()),
+        "recalls": recalls,
+        "thresholds": thresholds,
+        "num_pos": num_pos,
+    }

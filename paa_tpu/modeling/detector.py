@@ -274,11 +274,11 @@ def build_detection_model(cfg, dtype=None) -> DetectionModel:
         strides = tuple(cfg.MODEL.RETINANET.ANCHOR_STRIDES)
         head_type = "retinanet"
     else:
-        raise NotImplementedError(
-            "RPN-only proposal models (box-proposal AR evaluation) are "
-            "not wired into the engine; use a dense head or a two-stage "
-            "config"
-        )
+        # classic RPN-only proposal model (reference rpn_*.yaml):
+        # box-proposal AR evaluation instead of COCO AP
+        from .two_stage import build_rpn_only
+
+        return build_rpn_only(cfg, dtype=dtype)
     module = DenseDetector(backbone=backbone, head=head)
     return DetectionModel(
         cfg=cfg,

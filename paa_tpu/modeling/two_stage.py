@@ -347,6 +347,166 @@ def _build_single_level_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
     )
 
 
+class RPNOnly(nn.Module):
+    backbone: nn.Module
+    rpn_head: nn.Module
+
+    def __call__(self, images):
+        return self.rpn_head(self.backbone(images))
+
+
+@dataclass
+class RPNOnlyModel:
+    """RPN-only proposal model (reference rpn_*.yaml configs:
+    GeneralizedRCNN with RPN_ONLY=True and no head flags). Evaluated by
+    box-proposal average recall (evaluation/coco_eval.py
+    evaluate_box_proposals), not COCO AP."""
+
+    cfg: Any
+    module: RPNOnly
+    anchor_generator: AnchorGenerator
+    strides: Tuple[int, ...]
+    head_type: str = "rpn"
+
+    def feature_shapes(self, image_hw):
+        import math
+
+        h, w = image_hw
+        return [
+            (int(math.ceil(h / s)), int(math.ceil(w / s)))
+            for s in self.strides
+        ]
+
+    def anchors_for(self, image_hw):
+        return self.anchor_generator(self.feature_shapes(image_hw))
+
+    def init(self, rng, image_hw, batch_size=1):
+        images = jnp.zeros((batch_size, *image_hw, 3), jnp.float32)
+        return self.module.init(rng, images)
+
+    @property
+    def train_batch_keys(self):
+        return ("images", "gt_boxes", "gt_labels")
+
+    def make_bucket_train_step(self, hw, param_label_tree=None,
+                               num_shards=1):
+        import optax
+
+        anchors, counts = self.anchors_for(hw)
+        anchors_j = jnp.asarray(anchors, jnp.float32)
+        rc = RPNConfig.from_cfg(self.cfg, is_train=True)
+        base_rng = jax.random.PRNGKey(self.cfg.TPU.SEED)
+
+        def loss_fn(params, batch, rng):
+            if param_label_tree is not None:
+                params = jax.tree_util.tree_map(
+                    lambda pp, label: (
+                        jax.lax.stop_gradient(pp)
+                        if label == "frozen" else pp
+                    ),
+                    params,
+                    param_label_tree,
+                )
+            rpn_out = self.module.apply(
+                {"params": params}, batch["images"]
+            )
+            losses = rpn_loss(
+                rpn_out, batch["gt_boxes"], batch["gt_labels"],
+                anchors_j, counts, rc, rng, num_shards,
+            )
+            total = sum(
+                v for k, v in losses.items() if k.startswith("loss_")
+            )
+            return total, losses
+
+        def train_step(state, batch):
+            rng = jax.random.fold_in(base_rng, state.step)
+            (total, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, batch, rng)
+            updates, new_opt_state = state.tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=new_params,
+                opt_state=new_opt_state,
+            )
+            metrics = dict(losses)
+            metrics["loss"] = total
+            return new_state, metrics
+
+        return train_step
+
+    def postprocess_config(self):
+        return RPNConfig.from_cfg(self.cfg, is_train=False)
+
+    def make_eval_fn(self, variables):
+        rc = RPNConfig.from_cfg(self.cfg, is_train=False)
+
+        @jax.jit
+        def eval_fn(images, image_sizes):
+            hw = images.shape[1:3]
+            anchors, counts = self.anchors_for(hw)
+            rpn_out = self.module.apply(variables, images)
+            boxes, scores, valid = select_proposals(
+                rpn_out, image_sizes, jnp.asarray(anchors), counts, rc
+            )
+            return {
+                "boxes": jnp.where(valid[..., None], boxes, 0.0),
+                "scores": jnp.where(valid, scores, 0.0),
+                "labels": valid.astype(jnp.int32),  # objectness class
+                "valid": valid,
+            }
+
+        return eval_fn
+
+
+def build_rpn_only(cfg, dtype=jnp.float32) -> RPNOnlyModel:
+    body = cfg.MODEL.BACKBONE.CONV_BODY
+    if "FPN" in body:
+        resnet = resnet_from_cfg(cfg, dtype=dtype)
+        backbone = ResNetFPNBackbone(
+            resnet=resnet,
+            out_channels=cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS,
+            skip_c2=False,
+            use_p6p7=False,
+            dtype=dtype,
+        )
+        strides = (4, 8, 16, 32, 64)
+        sizes = tuple(cfg.MODEL.RPN.ANCHOR_SIZES)
+        num_anchors = len(cfg.MODEL.RPN.ASPECT_RATIOS)
+        in_ch = cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS
+    else:
+        assert body.endswith(("-C4", "-C5")), body
+        backbone = _SingleLevelBackbone(
+            body=resnet_from_cfg(cfg, dtype=dtype)
+        )
+        strides = (cfg.MODEL.RPN.ANCHOR_STRIDE[0],)
+        sizes = (tuple(cfg.MODEL.RPN.ANCHOR_SIZES),)
+        num_anchors = (
+            len(cfg.MODEL.RPN.ANCHOR_SIZES)
+            * len(cfg.MODEL.RPN.ASPECT_RATIOS)
+        )
+        in_ch = 1024
+    module = RPNOnly(
+        backbone=backbone,
+        rpn_head=RPNHead(
+            num_anchors=num_anchors, in_channels=in_ch, dtype=dtype
+        ),
+    )
+    return RPNOnlyModel(
+        cfg=cfg,
+        module=module,
+        anchor_generator=AnchorGenerator(
+            sizes=sizes,
+            aspect_ratios=tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
+            strides=strides,
+        ),
+        strides=strides,
+    )
+
+
 def faster_rcnn_train_step_fns(model: TwoStageModel, image_hw,
                                num_shards=1):
     """Builds the jittable train loss for one bucket shape."""
