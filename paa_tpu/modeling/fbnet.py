@@ -384,6 +384,52 @@ class FBNetRPNHead(nn.Module):
         }
 
 
+class FBNetMaskHead(nn.Module):
+    """FBNet mask head (fbnet.py FBNetROIHead head_name='mask' +
+    MaskRCNNC4Predictor): pool the trunk map, run the arch's 'mask'
+    stage blocks (which upsample via negative strides), then deconv x2
+    and a 1x1 conv to per-class mask logits."""
+
+    arch: str = "default"
+    num_classes: int = 80  # WITHOUT background
+    resolution: int = 14
+    scale: float = 1.0 / 16
+    sampling_ratio: int = 2
+    width_ratio: float = 1.0
+    width_divisor: int = 1
+    bn_type: str = "bn"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, rois, roi_batch_idx):
+        from ..ops.roi_align import roi_align
+        from .layers import kaiming_uniform_a1
+
+        x = roi_align(
+            features[0], rois, roi_batch_idx,
+            (self.resolution, self.resolution), self.scale,
+            self.sampling_ratio,
+        )
+        x = FBNetStages(
+            blocks=tuple(expanded_blocks(FBNET_ARCHS[self.arch], "mask")),
+            width_ratio=self.width_ratio,
+            width_divisor=self.width_divisor,
+            bn_type=self.bn_type,
+            dtype=self.dtype,
+            name="mask_stages",
+        )(x)
+        x = nn.ConvTranspose(
+            x.shape[-1], (2, 2), strides=(2, 2),
+            kernel_init=kaiming_uniform_a1, name="conv5_mask",
+        )(x.astype(jnp.float32))
+        x = nn.relu(x)
+        return conv(
+            self.num_classes, 1, use_bias=True,
+            kernel_init=nn.initializers.normal(0.001),
+            name="mask_fcn_logits",
+        )(x)
+
+
 class FBNetROIBoxHead(nn.Module):
     """FBNet box head (fbnet.py FBNetROIHead with head_name='bbox' +
     FastRCNNPredictor): pool the single trunk map, run the arch's

@@ -39,11 +39,18 @@ class MaskHead(nn.Module):
 
     @nn.compact
     def __call__(self, features, rois, roi_batch_idx):
-        x = multilevel_roi_align(
-            features, rois, roi_batch_idx,
-            (self.resolution, self.resolution), self.scales,
-            self.sampling_ratio,
-        )
+        if len(self.scales) == 1:  # single-level (C4 / FBNet) bodies
+            x = roi_align(
+                features[0], rois, roi_batch_idx,
+                (self.resolution, self.resolution), self.scales[0],
+                self.sampling_ratio,
+            )
+        else:
+            x = multilevel_roi_align(
+                features, rois, roi_batch_idx,
+                (self.resolution, self.resolution), self.scales,
+                self.sampling_ratio,
+            )
         for i in range(self.num_convs):
             x = conv(
                 self.channels, 3, padding=1, use_bias=True,

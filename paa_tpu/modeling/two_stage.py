@@ -334,12 +334,38 @@ def _build_single_level_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
         aspect_ratios=tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
         strides=(stride,),
     )
-    assert not cfg.MODEL.MASK_ON and not cfg.MODEL.KEYPOINT_ON, (
-        "mask/keypoint branches are implemented for the FPN two-stage "
-        "path; C4/FBNet configs are box-only here"
+    assert not cfg.MODEL.KEYPOINT_ON, (
+        "the keypoint branch is implemented for the FPN two-stage path"
     )
+    mask_head = None
+    if cfg.MODEL.MASK_ON:
+        if body == "FBNet":
+            from .fbnet import FBNetMaskHead
+
+            mask_head = FBNetMaskHead(
+                arch=f.ARCH,
+                num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES - 1,
+                resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
+                scale=1.0 / stride,
+                width_ratio=f.SCALE_FACTOR,
+                width_divisor=f.WIDTH_DIVISOR,
+                bn_type=f.BN_TYPE,
+                dtype=dtype,
+            )
+        else:
+            # C4 mask: conv-stack head on the single stride-16 map (a
+            # deliberate redesign of the shared-res5 extractor: the
+            # functional train/eval split keeps heads independent)
+            from .roi_mask_head import MaskHead
+
+            mask_head = MaskHead(
+                num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES - 1,
+                scales=(1.0 / stride,),
+                dtype=dtype,
+            )
     module = FasterRCNN(
         backbone=backbone, rpn_head=rpn_head, box_head=box_head,
+        mask_head=mask_head,
     )
     return TwoStageModel(
         cfg=cfg, module=module, anchor_generator=anchor_gen,

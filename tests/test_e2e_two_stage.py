@@ -250,3 +250,65 @@ def test_fbnet_faster_rcnn_builds_and_steps():
     fn = model.make_eval_fn({"params": state.params})
     det = fn(batch["images"], batch["image_sizes"])
     assert det["boxes"].shape[0] == 1 and det["boxes"].shape[2] == 4
+
+
+def test_fbnet_mask_rcnn_builds():
+    """FBNet Mask R-CNN (reference e2e_mask_rcnn_fbnet_xirb16d_dsmask):
+    mask branch builds and produces upsampled per-class logits."""
+    import jax.numpy as jnp
+    from paa_tpu.config import get_cfg
+    from paa_tpu.modeling import build_detection_model
+
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.CONV_BODY = "FBNet"
+    cfg.MODEL.FBNET.ARCH = "xirb16d_dsmask"
+    cfg.MODEL.FBNET.WIDTH_DIVISOR = 8
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.RPN.ANCHOR_SIZES = (16, 32, 64, 128, 256)
+    cfg.MODEL.RPN.ANCHOR_STRIDE = (16,)
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 6
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 4
+    cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 6
+
+    model = build_detection_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), (64, 64))
+    from paa_tpu.modeling.two_stage import FasterRCNN
+
+    feats = model.module.apply(
+        variables, jnp.zeros((1, 64, 64, 3)),
+        method=lambda m, x: m.backbone(x),
+    )
+    rois = jnp.asarray([[4.0, 4, 30, 30]])
+    bidx = jnp.zeros((1,), jnp.int32)
+    logits = model.module.apply(
+        variables, feats, rois, bidx, method=FasterRCNN.mask
+    )
+    # 6x6 pool -> dsmask stages (x4 upsample net) -> deconv x2
+    assert logits.shape[0] == 1 and logits.shape[-1] == 3
+    assert logits.shape[1] >= 12
+
+
+def test_c4_mask_rcnn_builds():
+    import jax.numpy as jnp
+    from paa_tpu.config import get_cfg
+    from paa_tpu.modeling import build_detection_model
+    from paa_tpu.modeling.two_stage import FasterRCNN
+
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.CONV_BODY = "R-50-C4"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 4
+
+    model = build_detection_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), (64, 96))
+    feats = model.module.apply(
+        variables, jnp.zeros((1, 64, 96, 3)),
+        method=lambda m, x: m.backbone(x),
+    )
+    rois = jnp.asarray([[4.0, 4, 30, 30]])
+    bidx = jnp.zeros((1,), jnp.int32)
+    logits = model.module.apply(
+        variables, feats, rois, bidx, method=FasterRCNN.mask
+    )
+    assert logits.shape == (1, 28, 28, 3)
