@@ -236,6 +236,12 @@ _C.MODEL.ATSS.BG_IOU_THRESHOLD = 0.4
 _C.MODEL.ATSS.TOPK = 9
 _C.MODEL.ATSS.REGRESSION_TYPE = "BOX"
 _C.MODEL.ATSS.REG_LOSS_WEIGHT = 2.0
+# IoU-prediction ablation keys used by the reference's atss/ret_*.yaml
+# configs (absent from the reference's own defaults — those configs are
+# broken upstream; here the branch predicts IoU instead of centerness)
+_C.MODEL.ATSS.USE_IOU_PRED = False
+_C.MODEL.ATSS.IOU_LOSS_WEIGHT = 0.5
+_C.MODEL.ATSS.USE_CENTERNESS_PRED = True
 _C.MODEL.ATSS.PRIOR_PROB = 0.01
 _C.MODEL.ATSS.INFERENCE_TH = 0.05
 _C.MODEL.ATSS.NMS_TH = 0.6

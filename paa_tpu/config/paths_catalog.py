@@ -45,11 +45,73 @@ class DatasetCatalog:
             "img_dir": "coco/val2017",
             "ann_file": "coco/annotations/person_keypoints_val2017.json",
         },
+        "keypoints_coco_2014_train": {
+            "img_dir": "coco/train2014",
+            "ann_file": "coco/annotations/person_keypoints_train2014.json",
+        },
+        "keypoints_coco_2014_minival": {
+            "img_dir": "coco/val2014",
+            "ann_file": (
+                "coco/annotations/person_keypoints_minival2014.json"
+            ),
+        },
+        "keypoints_coco_2014_valminusminival": {
+            "img_dir": "coco/val2014",
+            "ann_file": (
+                "coco/annotations/"
+                "person_keypoints_valminusminival2014.json"
+            ),
+        },
+        # cityscapes instance segmentation converted to COCO json by
+        # tools/cityscapes/convert_cityscapes_to_coco.py
+        "cityscapes_fine_instanceonly_seg_train_cocostyle": {
+            "img_dir": "cityscapes/images",
+            "ann_file": (
+                "cityscapes/annotations/"
+                "instancesonly_filtered_gtFine_train.json"
+            ),
+        },
+        "cityscapes_fine_instanceonly_seg_val_cocostyle": {
+            "img_dir": "cityscapes/images",
+            "ann_file": (
+                "cityscapes/annotations/"
+                "instancesonly_filtered_gtFine_val.json"
+            ),
+        },
+        "cityscapes_fine_instanceonly_seg_test_cocostyle": {
+            "img_dir": "cityscapes/images",
+            "ann_file": (
+                "cityscapes/annotations/"
+                "instancesonly_filtered_gtFine_test.json"
+            ),
+        },
         "voc_2007_train": {"data_dir": "voc/VOC2007", "split": "train"},
         "voc_2007_val": {"data_dir": "voc/VOC2007", "split": "val"},
         "voc_2007_test": {"data_dir": "voc/VOC2007", "split": "test"},
         "voc_2012_train": {"data_dir": "voc/VOC2012", "split": "train"},
         "voc_2012_val": {"data_dir": "voc/VOC2012", "split": "val"},
+        # VOC served through COCO-style jsons (reference
+        # paths_catalog.py voc_*_cocostyle entries)
+        "voc_2007_train_cocostyle": {
+            "img_dir": "voc/VOC2007/JPEGImages",
+            "ann_file": "voc/VOC2007/Annotations/pascal_train2007.json",
+        },
+        "voc_2007_val_cocostyle": {
+            "img_dir": "voc/VOC2007/JPEGImages",
+            "ann_file": "voc/VOC2007/Annotations/pascal_val2007.json",
+        },
+        "voc_2007_test_cocostyle": {
+            "img_dir": "voc/VOC2007/JPEGImages",
+            "ann_file": "voc/VOC2007/Annotations/pascal_test2007.json",
+        },
+        "voc_2012_train_cocostyle": {
+            "img_dir": "voc/VOC2012/JPEGImages",
+            "ann_file": "voc/VOC2012/Annotations/pascal_train2012.json",
+        },
+        "voc_2012_val_cocostyle": {
+            "img_dir": "voc/VOC2012/JPEGImages",
+            "ann_file": "voc/VOC2012/Annotations/pascal_val2012.json",
+        },
     }
 
     @staticmethod
@@ -101,4 +163,12 @@ class ModelCatalog:
             key = name[len("ImageNetPretrained/"):]
             fname = ModelCatalog.C2_IMAGENET_MODELS[key]
             return os.path.join(ModelCatalog.WEIGHTS_DIR, fname)
+        if name.startswith("Caffe2Detectron/COCO/"):
+            # catalog://Caffe2Detectron/COCO/<id>/<model_name> (reference
+            # paths_catalog.py:169-181); offline: <model_name>.pkl under
+            # WEIGHTS_DIR
+            model_name = name.rsplit("/", 1)[-1]
+            return os.path.join(
+                ModelCatalog.WEIGHTS_DIR, f"{model_name}.pkl"
+            )
         raise RuntimeError(f"model not present in the catalog {name}")

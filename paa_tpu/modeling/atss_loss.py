@@ -45,6 +45,8 @@ class ATSSLossConfig:
     bg_iou_threshold: float = 0.4
     reg_loss_weight: float = 2.0
     positive_type: str = "ATSS"
+    use_iou_pred: bool = False
+    iou_loss_weight: float = 0.5
 
     @staticmethod
     def from_cfg(cfg):
@@ -56,6 +58,8 @@ class ATSSLossConfig:
             bg_iou_threshold=cfg.MODEL.ATSS.BG_IOU_THRESHOLD,
             reg_loss_weight=cfg.MODEL.ATSS.REG_LOSS_WEIGHT,
             positive_type=cfg.MODEL.ATSS.POSITIVE_TYPE,
+            use_iou_pred=cfg.MODEL.ATSS.USE_IOU_PRED,
+            iou_loss_weight=cfg.MODEL.ATSS.IOU_LOSS_WEIGHT,
         )
 
 
@@ -276,20 +280,53 @@ def atss_loss(outputs, gt_boxes, gt_labels, anchors, level_counts, lc,
         cls_logits, labels, lc.gamma, lc.alpha
     ).sum() / num_pos_norm
 
-    ctr_targets = compute_centerness_targets(reg_targets, anchors[None])
-    ctr_targets = jnp.where(pos, ctr_targets, 0.0)
-    sum_ctr = jnp.maximum(ctr_targets.sum(), 1e-6)
+    if lc.use_iou_pred:
+        # RetinaNet/ATSS + IoU prediction ablation (the reference ships
+        # atss/ret_iou_R_50_FPN_1.5x.yaml setting MODEL.ATSS.USE_IOU_PRED,
+        # a key absent from its own defaults — PAA-paper semantics: the
+        # branch predicts IoU(decoded box, matched GT), BCE'd against the
+        # actual IoUs; GIoU is weighted by those IoUs (paa/loss.py:328-337)
+        pred_boxes = decode_box(box_regression, anchors[None])
+        iou_targets = jnp.where(
+            pos,
+            _pairwise_iou_aligned(pred_boxes, matched_boxes),
+            0.0,
+        )
+        weight = jax.lax.stop_gradient(iou_targets)
+        sum_w = jnp.maximum(weight.sum(), 1e-6)
+        reg = giou_loss(box_regression, reg_targets, anchors[None])
+        reg_loss = (reg * weight).sum() / sum_w * lc.reg_loss_weight
+        branch_loss = (
+            bce_with_logits(centerness, jax.lax.stop_gradient(iou_targets))
+            * posf
+        ).sum() / num_pos_norm * lc.iou_loss_weight
+    else:
+        ctr_targets = compute_centerness_targets(reg_targets, anchors[None])
+        ctr_targets = jnp.where(pos, ctr_targets, 0.0)
+        sum_ctr = jnp.maximum(ctr_targets.sum(), 1e-6)
 
-    reg = giou_loss(box_regression, reg_targets, anchors[None])
-    reg_loss = (reg * ctr_targets).sum() / sum_ctr * lc.reg_loss_weight
+        reg = giou_loss(box_regression, reg_targets, anchors[None])
+        reg_loss = (reg * ctr_targets).sum() / sum_ctr * lc.reg_loss_weight
 
-    ctr_loss = (
-        bce_with_logits(centerness, ctr_targets) * posf
-    ).sum() / num_pos_norm
+        branch_loss = (
+            bce_with_logits(centerness, ctr_targets) * posf
+        ).sum() / num_pos_norm
 
     return {
         "loss_cls": cls_loss,
         "loss_reg": reg_loss,
-        "loss_centerness": ctr_loss,
+        "loss_centerness": branch_loss,
         "num_pos": num_pos,
     }
+
+
+def _pairwise_iou_aligned(boxes_a, boxes_b):
+    """Elementwise IoU of aligned (..., 4) boxes (+1 convention)."""
+    ax1, ay1, ax2, ay2 = jnp.moveaxis(boxes_a, -1, 0)
+    bx1, by1, bx2, by2 = jnp.moveaxis(boxes_b, -1, 0)
+    iw = jnp.clip(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1) + 1, 0.0)
+    ih = jnp.clip(jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1) + 1, 0.0)
+    inter = iw * ih
+    area_a = jnp.clip(ax2 - ax1 + 1, 0.0) * jnp.clip(ay2 - ay1 + 1, 0.0)
+    area_b = jnp.clip(bx2 - bx1 + 1, 0.0) * jnp.clip(by2 - by1 + 1, 0.0)
+    return inter / jnp.maximum(area_a + area_b - inter, 1e-6)

@@ -215,6 +215,8 @@ def build_backbone(cfg, dtype=jnp.float32):
             skip_c2=True,
             use_p6p7=True,
             p6p7_from_c5=cfg.MODEL.RETINANET.USE_C5,
+            use_gn=cfg.MODEL.FPN.USE_GN,
+            use_relu=cfg.MODEL.FPN.USE_RELU,
             dtype=dtype,
         )
     elif body.endswith("FPN"):
@@ -223,6 +225,8 @@ def build_backbone(cfg, dtype=jnp.float32):
             out_channels=out_channels,
             skip_c2=False,
             use_p6p7=False,
+            use_gn=cfg.MODEL.FPN.USE_GN,
+            use_relu=cfg.MODEL.FPN.USE_RELU,
             dtype=dtype,
         )
     raise NotImplementedError(f"CONV_BODY {body} not supported")
@@ -245,6 +249,12 @@ def build_detection_model(cfg, dtype=None) -> DetectionModel:
         from .two_stage import build_faster_rcnn
 
         return build_faster_rcnn(cfg, dtype=dtype)
+    if not dense:
+        # classic RPN-only proposal model (reference rpn_*.yaml, incl.
+        # single-level C4 bodies): box-proposal AR instead of COCO AP
+        from .two_stage import build_rpn_only
+
+        return build_rpn_only(cfg, dtype=dtype)
     backbone = build_backbone(cfg, dtype=dtype)
     if cfg.MODEL.PAA_ON:
         head = paa_head_from_cfg(cfg, dtype=dtype)
@@ -273,12 +283,8 @@ def build_detection_model(cfg, dtype=None) -> DetectionModel:
         anchor_gen = make_anchor_generator_retinanet(cfg)
         strides = tuple(cfg.MODEL.RETINANET.ANCHOR_STRIDES)
         head_type = "retinanet"
-    else:
-        # classic RPN-only proposal model (reference rpn_*.yaml):
-        # box-proposal AR evaluation instead of COCO AP
-        from .two_stage import build_rpn_only
-
-        return build_rpn_only(cfg, dtype=dtype)
+    else:  # unreachable: dense is True in every branch above
+        raise NotImplementedError("no head flag set")
     module = DenseDetector(backbone=backbone, head=head)
     return DetectionModel(
         cfg=cfg,

@@ -398,6 +398,8 @@ class FBNetMaskHead(nn.Module):
     width_ratio: float = 1.0
     width_divisor: int = 1
     bn_type: str = "bn"
+    use_deconv: bool = True  # False = MaskRCNNConv1x1Predictor (dsmask
+    # archs upsample inside the 'mask' stage via negative strides)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -418,11 +420,12 @@ class FBNetMaskHead(nn.Module):
             dtype=self.dtype,
             name="mask_stages",
         )(x)
-        x = nn.ConvTranspose(
-            x.shape[-1], (2, 2), strides=(2, 2),
-            kernel_init=kaiming_uniform_a1, name="conv5_mask",
-        )(x.astype(jnp.float32))
-        x = nn.relu(x)
+        if self.use_deconv:
+            x = nn.ConvTranspose(
+                x.shape[-1], (2, 2), strides=(2, 2),
+                kernel_init=kaiming_uniform_a1, name="conv5_mask",
+            )(x.astype(jnp.float32))
+            x = nn.relu(x)
         return conv(
             self.num_classes, 1, use_bias=True,
             kernel_init=nn.initializers.normal(0.001),

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import conv, kaiming_uniform_a1
+from .layers import GroupNorm32, conv, kaiming_uniform_a1
 
 
 def _upsample_nearest(x, target_hw):
@@ -38,7 +38,22 @@ class FPN(nn.Module):
     skip_c2: bool = True
     use_p6p7: bool = True
     p6p7_from_c5: bool = False
+    use_gn: bool = False
+    use_relu: bool = False
     dtype: Any = jnp.float32
+
+    def _block(self, x, kernel, padding, name):
+        """conv_with_kaiming_uniform(use_gn, use_relu) of the reference
+        make_layers.py: conv (bias only without GN) -> GN -> ReLU."""
+        x = conv(
+            self.out_channels, kernel, padding=padding,
+            use_bias=not self.use_gn, dtype=self.dtype, name=name,
+        )(x)
+        if self.use_gn:
+            x = GroupNorm32(self.out_channels, name=f"{name}_gn")(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
 
     @nn.compact
     def __call__(self, features):
@@ -48,8 +63,7 @@ class FPN(nn.Module):
         n = len(used)
 
         laterals = [
-            conv(self.out_channels, 1, use_bias=True, dtype=self.dtype,
-                 name=f"fpn_inner{start + i + 1}")(f)
+            self._block(f, 1, 0, f"fpn_inner{start + i + 1}")
             for i, f in enumerate(used)
         ]
 
@@ -61,8 +75,7 @@ class FPN(nn.Module):
             merged[i] = laterals[i] + top
 
         results = [
-            conv(self.out_channels, 3, padding=1, use_bias=True,
-                 dtype=self.dtype, name=f"fpn_layer{start + i + 1}")(m)
+            self._block(m, 3, 1, f"fpn_layer{start + i + 1}")
             for i, m in enumerate(merged)
         ]
 
@@ -89,6 +102,8 @@ class ResNetFPNBackbone(nn.Module):
     skip_c2: bool = True
     use_p6p7: bool = True
     p6p7_from_c5: bool = False
+    use_gn: bool = False
+    use_relu: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -99,6 +114,8 @@ class ResNetFPNBackbone(nn.Module):
             skip_c2=self.skip_c2,
             use_p6p7=self.use_p6p7,
             p6p7_from_c5=self.p6p7_from_c5,
+            use_gn=self.use_gn,
+            use_relu=self.use_relu,
             dtype=self.dtype,
             name="fpn",
         )(features)

@@ -31,11 +31,42 @@ from ..ops.nms import nms_auto as nms
 from ..ops.roi_align import multilevel_roi_align
 from ..structures.boxes import box_iou, clip_to_image
 from .box_coder import decode_box, encode_box
-from .layers import kaiming_uniform_a1
+from .layers import GroupNorm32, conv, kaiming_uniform_a1
 from .retinanet_head import smooth_l1
 from .rpn import balanced_sample
 
 _REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+
+
+def _make_fc(x, dim, use_gn, name):
+    """make_layers.py make_fc: kaiming_uniform(a=1) Linear; with GN the
+    Linear drops its bias and a GroupNorm follows."""
+    x = nn.Dense(
+        dim, use_bias=not use_gn, kernel_init=kaiming_uniform_a1,
+        name=name,
+    )(x)
+    if use_gn:
+        x = GroupNorm32(dim, name=f"{name}_gn")(x[:, None, None, :])[
+            :, 0, 0, :
+        ]
+    return x
+
+
+def _fpn_predictor(x, num_classes):
+    """FPNPredictor (roi_box_predictors.py): cls_score normal(0.01) +
+    class-specific bbox_pred normal(0.001)."""
+    r = x.shape[0]
+    cls_logits = nn.Dense(
+        num_classes,
+        kernel_init=nn.initializers.normal(0.01),
+        name="cls_score",
+    )(x)
+    box_deltas = nn.Dense(
+        num_classes * 4,
+        kernel_init=nn.initializers.normal(0.001),
+        name="bbox_pred",
+    )(x)
+    return cls_logits, box_deltas.reshape(r, num_classes, 4)
 
 
 class FPN2MLPBoxHead(nn.Module):
@@ -46,6 +77,7 @@ class FPN2MLPBoxHead(nn.Module):
     resolution: int = 7
     scales: tuple = (0.25, 0.125, 0.0625, 0.03125)
     sampling_ratio: int = 2
+    use_gn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -59,25 +91,50 @@ class FPN2MLPBoxHead(nn.Module):
         )  # (R, 7, 7, C)
         r = x.shape[0]
         x = x.reshape(r, -1)
-        x = nn.relu(
-            nn.Dense(self.mlp_dim, kernel_init=kaiming_uniform_a1,
-                     name="fc6")(x)
+        x = nn.relu(_make_fc(x, self.mlp_dim, self.use_gn, "fc6"))
+        x = nn.relu(_make_fc(x, self.mlp_dim, self.use_gn, "fc7"))
+        return _fpn_predictor(x, self.num_classes)
+
+
+class FPNXconvBoxHead(nn.Module):
+    """FPNXconv1fcFeatureExtractor + FPNPredictor
+    (roi_box_feature_extractors.py:86-145): pooler -> N stacked 3x3
+    convs (normal(0.01), GN optional, dilation) -> flatten -> FC ->
+    predictors. Used by the gn_baselines Xconv1fc configs."""
+
+    num_classes: int  # INCLUDING background
+    mlp_dim: int = 1024
+    conv_head_dim: int = 256
+    num_stacked_convs: int = 4
+    dilation: int = 1
+    resolution: int = 7
+    scales: tuple = (0.25, 0.125, 0.0625, 0.03125)
+    sampling_ratio: int = 2
+    use_gn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, proposals, proposal_batch_idx):
+        x = multilevel_roi_align(
+            features, proposals, proposal_batch_idx,
+            (self.resolution, self.resolution), self.scales,
+            self.sampling_ratio,
         )
-        x = nn.relu(
-            nn.Dense(self.mlp_dim, kernel_init=kaiming_uniform_a1,
-                     name="fc7")(x)
-        )
-        cls_logits = nn.Dense(
-            self.num_classes,
-            kernel_init=nn.initializers.normal(0.01),
-            name="cls_score",
-        )(x)
-        box_deltas = nn.Dense(
-            self.num_classes * 4,
-            kernel_init=nn.initializers.normal(0.001),
-            name="bbox_pred",
-        )(x)
-        return cls_logits, box_deltas.reshape(r, self.num_classes, 4)
+        for i in range(self.num_stacked_convs):
+            x = conv(
+                self.conv_head_dim, 3, padding=self.dilation,
+                dilation=self.dilation, use_bias=not self.use_gn,
+                kernel_init=nn.initializers.normal(0.01),
+                dtype=self.dtype, name=f"xconv{i + 1}",
+            )(x)
+            if self.use_gn:
+                x = GroupNorm32(self.conv_head_dim,
+                                name=f"xconv{i + 1}_gn")(x)
+            x = nn.relu(x)
+        r = x.shape[0]
+        x = x.astype(jnp.float32).reshape(r, -1)
+        x = nn.relu(_make_fc(x, self.mlp_dim, use_gn=False, name="fc6"))
+        return _fpn_predictor(x, self.num_classes)
 
 
 @dataclass(frozen=True)

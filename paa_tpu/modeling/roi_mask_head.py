@@ -25,16 +25,22 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.roi_align import multilevel_roi_align, roi_align
-from .layers import conv, kaiming_uniform_a1
+from .layers import GroupNorm32, conv, kaiming_uniform_a1
 
 
 class MaskHead(nn.Module):
+    """MaskRCNNFPNFeatureExtractor (+GN/dilation variants) followed by
+    MaskRCNNC4Predictor (deconv + 1x1) or MaskRCNNConv1x1Predictor
+    (1x1 only; roi_mask_predictors.py:34-53)."""
+
     num_classes: int  # WITHOUT background
-    channels: int = 256
-    num_convs: int = 4
+    conv_layers: tuple = (256, 256, 256, 256)
+    dilation: int = 1
     resolution: int = 14
     scales: tuple = (0.25, 0.125, 0.0625, 0.03125)
     sampling_ratio: int = 2
+    use_gn: bool = False
+    use_deconv: bool = True  # False = MaskRCNNConv1x1Predictor
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -51,24 +57,28 @@ class MaskHead(nn.Module):
                 (self.resolution, self.resolution), self.scales,
                 self.sampling_ratio,
             )
-        for i in range(self.num_convs):
+        for i, channels in enumerate(self.conv_layers):
             x = conv(
-                self.channels, 3, padding=1, use_bias=True,
+                channels, 3, padding=self.dilation,
+                dilation=self.dilation, use_bias=not self.use_gn,
                 kernel_init=kaiming_uniform_a1, dtype=self.dtype,
                 name=f"mask_fcn{i + 1}",
             )(x)
+            if self.use_gn:
+                x = GroupNorm32(channels, name=f"mask_fcn{i + 1}_gn")(x)
             x = nn.relu(x)
-        x = nn.ConvTranspose(
-            self.channels, (2, 2), strides=(2, 2),
-            kernel_init=kaiming_uniform_a1, name="conv5_mask",
-        )(x)
-        x = nn.relu(x)
+        if self.use_deconv:
+            x = nn.ConvTranspose(
+                self.conv_layers[-1], (2, 2), strides=(2, 2),
+                kernel_init=kaiming_uniform_a1, name="conv5_mask",
+            )(x)
+            x = nn.relu(x)
         logits = conv(
             self.num_classes, 1, use_bias=True,
             kernel_init=nn.initializers.normal(0.001),
             dtype=self.dtype, name="mask_fcn_logits",
         )(x)
-        return logits  # (R, 28, 28, C-1)
+        return logits  # (R, 28, 28, C-1) (14x14 without the deconv)
 
 
 def crop_gt_masks_for_rois(gt_masks, matched_gt_boxes, rois,

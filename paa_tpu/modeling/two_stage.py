@@ -26,6 +26,7 @@ from .fpn import ResNetFPNBackbone
 from .resnet import resnet_from_cfg
 from .roi_box_head import (
     FPN2MLPBoxHead,
+    FPNXconvBoxHead,
     ROIBoxConfig,
     roi_box_loss,
     roi_box_postprocess,
@@ -198,6 +199,8 @@ def build_faster_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
         out_channels=cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS,
         skip_c2=False,
         use_p6p7=False,  # P6 via max-pool (LastLevelMaxPool)
+        use_gn=cfg.MODEL.FPN.USE_GN,
+        use_relu=cfg.MODEL.FPN.USE_RELU,
         dtype=dtype,
     )
     rpn_head = RPNHead(
@@ -205,12 +208,29 @@ def build_faster_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
         in_channels=cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS,
         dtype=dtype,
     )
-    box_head = FPN2MLPBoxHead(
-        num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
-        mlp_dim=cfg.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM,
-        resolution=7,
-        dtype=dtype,
-    )
+    bh = cfg.MODEL.ROI_BOX_HEAD
+    extractor = bh.FEATURE_EXTRACTOR
+    if extractor == "FPNXconv1fcFeatureExtractor":
+        box_head = FPNXconvBoxHead(
+            num_classes=bh.NUM_CLASSES,
+            mlp_dim=bh.MLP_HEAD_DIM,
+            conv_head_dim=bh.CONV_HEAD_DIM,
+            num_stacked_convs=bh.NUM_STACKED_CONVS,
+            dilation=bh.DILATION,
+            resolution=bh.POOLER_RESOLUTION,
+            sampling_ratio=max(bh.POOLER_SAMPLING_RATIO, 1),
+            use_gn=bh.USE_GN,
+            dtype=dtype,
+        )
+    else:
+        box_head = FPN2MLPBoxHead(
+            num_classes=bh.NUM_CLASSES,
+            mlp_dim=bh.MLP_HEAD_DIM,
+            resolution=bh.POOLER_RESOLUTION,
+            sampling_ratio=max(bh.POOLER_SAMPLING_RATIO, 1),
+            use_gn=bh.USE_GN,
+            dtype=dtype,
+        )
     anchor_gen = AnchorGenerator(
         sizes=cfg.MODEL.RPN.ANCHOR_SIZES,
         aspect_ratios=cfg.MODEL.RPN.ASPECT_RATIOS,
@@ -220,8 +240,19 @@ def build_faster_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
     if cfg.MODEL.MASK_ON:
         from .roi_mask_head import MaskHead
 
+        mh = cfg.MODEL.ROI_MASK_HEAD
+        mask_scales = tuple(mh.POOLER_SCALES)
+        if len(mask_scales) != 4:  # C4-style default: use the FPN levels
+            mask_scales = (0.25, 0.125, 0.0625, 0.03125)
         mask_head = MaskHead(
             num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES - 1,
+            conv_layers=tuple(mh.CONV_LAYERS),
+            dilation=mh.DILATION,
+            resolution=mh.POOLER_RESOLUTION,
+            scales=mask_scales,
+            sampling_ratio=max(mh.POOLER_SAMPLING_RATIO, 1),
+            use_gn=mh.USE_GN,
+            use_deconv=mh.PREDICTOR != "MaskRCNNConv1x1Predictor",
             dtype=dtype,
         )
     keypoint_head = None
@@ -350,6 +381,10 @@ def _build_single_level_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
                 width_ratio=f.SCALE_FACTOR,
                 width_divisor=f.WIDTH_DIVISOR,
                 bn_type=f.BN_TYPE,
+                use_deconv=(
+                    cfg.MODEL.ROI_MASK_HEAD.PREDICTOR
+                    != "MaskRCNNConv1x1Predictor"
+                ),
                 dtype=dtype,
             )
         else:

@@ -111,6 +111,23 @@ def torch_name_to_flax_path(name):
             ("backbone", "fpn", mod, leaf),
             "conv" if leaf == "kernel" else "copy",
         )
+    # GN FPN variant: conv_with_kaiming_uniform(use_gn) wraps each block
+    # in nn.Sequential(conv, gn) -> fpn_inner2.0.weight / .1.{weight,bias}
+    m = re.match(
+        r"^(?:module\.)?backbone\.fpn\.(fpn_inner\d|fpn_layer\d)\.(\d)"
+        r"\.(weight|bias)$",
+        name,
+    )
+    if m:
+        mod, idx, leaf = m.groups()
+        if idx == "0":  # conv
+            leaf = "kernel" if leaf == "weight" else "bias"
+            return (
+                ("backbone", "fpn", mod, leaf),
+                "conv" if leaf == "kernel" else "copy",
+            )
+        leaf = "scale" if leaf == "weight" else "bias"
+        return ("backbone", "fpn", f"{mod}_gn", "gn", leaf), "copy"
     m = re.match(
         r"^(?:module\.)?backbone\.fpn\.top_blocks\.(p6|p7)\.(weight|bias)$",
         name,
@@ -205,6 +222,20 @@ def load_torch_state_dict(params, state_dict, logger=None):
         elif kind == "scalar":
             value = np.asarray(value).reshape(())
         if _set_path(tree, path, value):
+            matched += 1
+        elif (
+            kind == "copy"
+            and path[-1] in ("weight", "bias")
+            and _set_path(
+                tree,
+                path[:-1]
+                + ("gn", "scale" if path[-1] == "weight" else "bias"),
+                value,
+            )
+        ):
+            # GN backbone variants (BottleneckWithGN/StemWithGN): the
+            # torch module is a GroupNorm under the bn* name; our flax
+            # GroupNorm32 stores scale/bias under a "gn" child
             matched += 1
         else:
             skipped.append(name)
@@ -322,6 +353,10 @@ def load_pretrained_into(cfg, params, weight, logger=None):
         from ..config.paths_catalog import ModelCatalog
 
         weight = ModelCatalog.get(weight[len("catalog://"):])
+    if weight.startswith(("http://", "https://")):
+        from .misc import cache_url
+
+        weight = cache_url(weight)
     if weight.endswith(".pkl"):
         return load_c2_pickle(params, weight, logger)
     # torch checkpoint

@@ -28,3 +28,9 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.device_count() == 8, (
     f"expected the 8-virtual-device CPU mesh, got {jax.devices()}"
 )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (full-model compiles)"
+    )

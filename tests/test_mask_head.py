@@ -60,7 +60,7 @@ def test_crop_gt_masks_shifted_roi():
 
 
 def test_mask_head_shapes_and_loss():
-    head = MaskHead(num_classes=4, channels=32, resolution=7)
+    head = MaskHead(num_classes=4, conv_layers=(32, 32, 32, 32), resolution=7)
     feats = [
         jnp.zeros((1, 32 // (2 ** i), 32 // (2 ** i), 8))
         for i in range(4)

@@ -45,8 +45,15 @@ def main():
     # configured (no-op on one host); the loader then shards the global
     # batch by jax.process_index()
     initialize_multihost(logger)
+    from paa_tpu.utils.misc import collect_env_info, save_config
+
+    logger.info(f"environment:\n{collect_env_info()}")
     logger.info(f"devices: {jax.devices()}")
     logger.info(f"Running with config:\n{cfg}")
+    if output_dir:
+        # persist the merged config next to the run's outputs
+        # (reference train_net.py output_config_path)
+        save_config(cfg, os.path.join(output_dir, "config.yml"))
 
     model, state = train(cfg, logger)
 
