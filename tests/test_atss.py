@@ -222,3 +222,51 @@ def test_ssc_loss_runs():
         counts, lc,
     )
     assert np.isfinite(float(out["loss_cls"]))
+
+
+def test_iou_pred_loss_branch():
+    """MODEL.ATSS.USE_IOU_PRED (atss/ret_iou_*.yaml ablation): the
+    centerness branch is trained as an IoU predictor (BCE vs the IoU of
+    the decoded box with its matched GT) and GIoU is IoU-weighted."""
+    anchors, counts, gt_boxes, gt_labels = build_scenario()
+    n = anchors.shape[0]
+    rng = np.random.RandomState(1)
+    gtb = np.zeros((1, 4, 4), np.float32)
+    gtb[0, :3] = gt_boxes
+    gtl = np.zeros((1, 4), np.int32)
+    gtl[0, :3] = gt_labels
+    outputs = {
+        "cls_logits": jnp.asarray(
+            rng.normal(-3, 1, (1, n, 5)).astype(np.float32)),
+        "box_regression": jnp.asarray(
+            rng.normal(0, 0.3, (1, n, 4)).astype(np.float32)),
+        "iou_pred": jnp.asarray(
+            rng.normal(0, 1, (1, n)).astype(np.float32)),
+    }
+    args = (jnp.asarray(gtb), jnp.asarray(gtl), jnp.asarray(anchors),
+            counts)
+    lc = ATSSLossConfig(topk=TOPK, use_iou_pred=True,
+                        iou_loss_weight=0.5)
+    out = atss_loss(outputs, *args, lc)
+    for k in ("loss_cls", "loss_reg", "loss_centerness"):
+        assert np.isfinite(float(out[k])), k
+    assert float(out["num_pos"]) > 0
+
+    # perfect regression -> IoU targets 1 -> a confident (+5) iou_pred
+    # must cost less than an anti-confident (-5) one
+    from paa_tpu.modeling.atss_loss import atss_assign
+    from paa_tpu.modeling.box_coder import encode_box
+
+    labels, assigned = atss_assign(*args, topk=TOPK)
+    matched = jnp.take_along_axis(
+        jnp.asarray(gtb), np.asarray(assigned)[..., None], axis=1
+    )
+    perfect = encode_box(matched, jnp.asarray(anchors)[None])
+    outputs_p = dict(outputs, box_regression=perfect)
+    hi = atss_loss(
+        dict(outputs_p, iou_pred=jnp.full((1, n), 5.0)), *args, lc
+    )
+    lo = atss_loss(
+        dict(outputs_p, iou_pred=jnp.full((1, n), -5.0)), *args, lc
+    )
+    assert float(hi["loss_centerness"]) < float(lo["loss_centerness"])

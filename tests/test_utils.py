@@ -1,6 +1,7 @@
 """Utility tests: metric logger smoothing (reference
 tests/test_metric_logger.py), checkpoint save/load roundtrip with pointer
 file (reference tests/checkpoint.py), registry semantics."""
+import os
 
 import numpy as np
 import pytest
@@ -83,3 +84,26 @@ def test_expected_results_check():
     check_expected_results(results, [["bbox", "AP", 0.40, 0.005]], 4)
     with pytest.raises(AssertionError):
         check_expected_results(results, [["bbox", "AP", 0.30, 0.005]], 4)
+
+
+def test_watcher_tb_scalars(tmp_path):
+    """The eval-dir watcher mirrors reference test_net.py:140-143:
+    '{dataset}_{metric}' TensorBoard scalars at the checkpoint's
+    iteration (parsed from the model_<N> name)."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    import test_net as test_net_cli
+
+    assert test_net_cli._ckpt_iteration("/x/model_0025000") == 25000
+    assert test_net_cli._ckpt_iteration("/x/model_0025000.pth") == 25000
+    assert test_net_cli._ckpt_iteration("/x/final") == 0
+
+    out = tmp_path / "tb"
+    test_net_cli._write_tb_scalars(
+        str(out), ["coco_2017_val"], [{"AP": 0.404, "AP50": 0.58}], 25000
+    )
+    events = list(out.glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0

@@ -11,6 +11,7 @@ deliberately NOT replicated (SURVEY.md flags it as an environment bug).
 import argparse
 import glob
 import os
+import re
 import sys
 import time
 
@@ -28,7 +29,34 @@ def build(cfg):
     return model, variables
 
 
-def eval_checkpoint(cfg, model, variables, ckpt_path, logger):
+def _write_tb_scalars(output_dir, dataset_names, all_results, n_iter):
+    """TensorBoard scalars per evaluated checkpoint, mirroring reference
+    tools/test_net.py:140-143 ('{dataset}_{metric}' tags at the
+    checkpoint's iteration). Soft dependency: skipped when tensorboard
+    is unavailable."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:  # noqa: BLE001
+        return
+    writer = SummaryWriter(output_dir)
+    for name, results in zip(dataset_names, all_results):
+        if not isinstance(results, dict):
+            continue
+        for ap_type, ap in results.items():
+            if isinstance(ap, (int, float)):
+                writer.add_scalar(f"{name}_{ap_type}", float(ap), n_iter)
+    writer.close()
+
+
+def _ckpt_iteration(ckpt_path):
+    """model_0025000[.pth] -> 25000 (reference test_net.py:202-204)."""
+    name = os.path.basename(ckpt_path or "")
+    m = re.search(r"model_(\d+)", name)
+    return int(m.group(1)) if m else 0
+
+
+def eval_checkpoint(cfg, model, variables, ckpt_path, logger,
+                    tb_iter=None):
     from paa_tpu.data.build import build_dataset
     from paa_tpu.engine.inference import inference
     from paa_tpu.utils.checkpoint import Checkpointer
@@ -57,6 +85,10 @@ def eval_checkpoint(cfg, model, variables, ckpt_path, logger):
             output_folder=output_folder, logger=logger,
         )
         all_results.append(results)
+    if tb_iter is not None:
+        _write_tb_scalars(
+            cfg.OUTPUT_DIR, list(cfg.DATASETS.TEST), all_results, tb_iter
+        )
     return all_results
 
 
@@ -73,7 +105,8 @@ def watch_dir(cfg, model, variables, eval_dir, logger,
             for attempt in range(3):
                 try:
                     results = eval_checkpoint(
-                        cfg, model, variables, ckpt, logger
+                        cfg, model, variables, ckpt, logger,
+                        tb_iter=_ckpt_iteration(ckpt),
                     )
                     break
                 except Exception as e:  # noqa: BLE001
