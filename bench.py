@@ -4,8 +4,8 @@
 Runs the flagship model's full inference path (ResNet-50+FPN+PAA head
 forward + on-device post-processing incl. class-aware NMS and score
 voting) on one chip at the standard COCO eval resolution bucket
-(800x1344), bf16 compute, batch 16 (throughput-optimal on v5e; B=8 is
-~9% lower), and reports images/sec/chip.
+(800x1344), bf16 compute, batch 32 (throughput-optimal on v5e; B=16 is
+~3% lower, B=8 ~12%), and reports images/sec/chip.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6);
 its eval loop logs s/img at runtime. A PAA-R50 torch model at batch 1 on
@@ -16,10 +16,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compile cache: the full-model program takes minutes to
+# build over the remote-TPU tunnel, milliseconds to reload
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/paa_tpu_jax_cache"
+)
 
 
 BASELINE_IMG_PER_S = 12.5  # torch reference proxy (see module docstring)
@@ -48,7 +55,7 @@ def main():
 
     model = build_detection_model(cfg)
     hw = (800, 1344)
-    batch = 16
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
 
     variables = model.init(jax.random.PRNGKey(0), hw)
     anchors, counts = model.anchors_for(hw)

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.nms import nms_auto as nms
+from ..ops.nms import nms_batched_auto as nms_batched
 from ..structures.boxes import box_iou, clip_to_image
 from .box_coder import decode_box
 
@@ -321,23 +322,30 @@ def paa_postprocess(outputs, image_sizes, anchors, level_counts, pp,
     # (B, 2) sizes broadcast as (B, 1) against the (B, K) coord arrays
     boxes = clip_to_image(boxes, image_sizes.astype(boxes.dtype))
 
-    def nms_and_vote(boxes_i, scores_i, labels_i, valid_i):
-        keep_idx, keep_scores, keep_valid = nms(
-            boxes_i, scores_i, labels_i, valid_i, pp.nms_thresh,
-            pp.detections_per_img, class_aware=True,
-        )
-        kept_boxes = boxes_i[keep_idx]
-        kept_labels = labels_i[keep_idx]
+    # one batched NMS kernel for the whole batch (images advance their
+    # suppression loops in lock-step); only gather + voting stay vmapped
+    keep_idx, keep_scores, keep_valid = nms_batched(
+        boxes, scores, labels, valid, pp.nms_thresh,
+        pp.detections_per_img, class_aware=True,
+    )
+
+    def gather_and_vote(keep_idx_i, keep_valid_i,
+                        boxes_i, scores_i, labels_i, valid_i):
+        kept_boxes = boxes_i[keep_idx_i]
+        kept_labels = labels_i[keep_idx_i]
         if pp.score_voting:
             kept_boxes = _score_vote(
-                kept_boxes, kept_labels, keep_valid,
+                kept_boxes, kept_labels, keep_valid_i,
                 boxes_i, scores_i, labels_i, valid_i,
             )
-        return {
-            "boxes": jnp.where(keep_valid[:, None], kept_boxes, 0.0),
-            "scores": jnp.where(keep_valid, keep_scores, 0.0),
-            "labels": jnp.where(keep_valid, kept_labels, 0),
-            "valid": keep_valid,
-        }
+        return kept_boxes, kept_labels
 
-    return jax.vmap(nms_and_vote)(boxes, scores, labels, valid)
+    kept_boxes, kept_labels = jax.vmap(gather_and_vote)(
+        keep_idx, keep_valid, boxes, scores, labels, valid
+    )
+    return {
+        "boxes": jnp.where(keep_valid[..., None], kept_boxes, 0.0),
+        "scores": jnp.where(keep_valid, keep_scores, 0.0),
+        "labels": jnp.where(keep_valid, kept_labels, 0),
+        "valid": keep_valid,
+    }

@@ -73,6 +73,30 @@ def nms_auto(boxes, scores, labels, valid, iou_threshold, max_out,
     )
 
 
+def nms_batched_auto(boxes, scores, labels, valid, iou_threshold,
+                     max_out, class_aware=True):
+    """Whole-batch dispatch: boxes (B, N, 4), scores/labels/valid (B, N)
+    -> (B, max_out) keeps. On TPU this is ONE fused Pallas kernel whose
+    suppression loop advances all images in lock-step (2x faster than
+    vmap(nms_pallas), whose batching rule serializes images through the
+    grid); elsewhere it's vmap over the XLA scan."""
+    impl = _FORCED_IMPL or (
+        "pallas" if jax.default_backend() == "tpu" else "scan"
+    )
+    if impl == "pallas":
+        from .nms_pallas import nms_pallas_batched
+
+        return nms_pallas_batched(
+            boxes, scores, labels, valid, iou_threshold, max_out,
+            class_aware=class_aware,
+        )
+    return jax.vmap(
+        lambda b, s, l, v: nms(
+            b, s, l, v, iou_threshold, max_out, class_aware=class_aware
+        )
+    )(boxes, scores, labels, valid)
+
+
 @partial(jax.jit, static_argnames=("max_out", "class_aware"))
 def nms(boxes, scores, labels, valid, iou_threshold, max_out,
         class_aware=True):

@@ -64,3 +64,64 @@ def test_pallas_golden_caffe2():
     )
     kept = np.sort(np.asarray(idx)[np.asarray(kv)])
     np.testing.assert_array_equal(kept, [1, 3])
+
+
+def test_pallas_batched_matches_vmap_scan():
+    """nms_pallas_batched == vmap(scan nms) exactly, including rows that
+    are fully invalid and batch sizes off the sublane multiple."""
+    import jax
+
+    from paa_tpu.ops.nms_pallas import nms_pallas_batched
+
+    for bsz in (1, 3, 8):
+        cases = [random_case(100 + 7 * bsz + i) for i in range(bsz)]
+        boxes = jnp.asarray(np.stack([c[0] for c in cases]))
+        scores = jnp.asarray(np.stack([c[1] for c in cases]))
+        labels = jnp.asarray(np.stack([c[2] for c in cases]))
+        valid = np.stack([c[3] for c in cases])
+        if bsz > 1:
+            valid[-1] = False  # an exhausted image
+        valid = jnp.asarray(valid)
+        for class_aware in (True, False):
+            ref = jax.vmap(
+                lambda b, s, l, v: nms(
+                    b, s, l, v, 0.5, 64, class_aware=class_aware
+                )
+            )(boxes, scores, labels, valid)
+            got = nms_pallas_batched(
+                boxes, scores, labels, valid, 0.5, 64,
+                class_aware=class_aware,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ref[2]), np.asarray(got[2])
+            )
+            kv = np.asarray(ref[2])
+            np.testing.assert_array_equal(
+                np.asarray(ref[0])[kv], np.asarray(got[0])[kv]
+            )
+            np.testing.assert_allclose(
+                np.asarray(ref[1])[kv], np.asarray(got[1])[kv],
+                rtol=1e-6,
+            )
+
+
+def test_nms_batched_auto_dispatch():
+    """nms_batched_auto on the CPU test platform (scan path) matches
+    per-image nms_auto."""
+    from paa_tpu.ops.nms import nms_batched_auto
+
+    cases = [random_case(7), random_case(8)]
+    boxes = jnp.asarray(np.stack([c[0] for c in cases]))
+    scores = jnp.asarray(np.stack([c[1] for c in cases]))
+    labels = jnp.asarray(np.stack([c[2] for c in cases]))
+    valid = jnp.asarray(np.stack([c[3] for c in cases]))
+    got = nms_batched_auto(boxes, scores, labels, valid, 0.6, 32)
+    for i in range(2):
+        ref = nms(boxes[i], scores[i], labels[i], valid[i], 0.6, 32)
+        np.testing.assert_array_equal(
+            np.asarray(ref[2]), np.asarray(got[2][i])
+        )
+        kv = np.asarray(ref[2])
+        np.testing.assert_array_equal(
+            np.asarray(ref[0])[kv], np.asarray(got[0][i])[kv]
+        )
