@@ -25,18 +25,31 @@ from ..evaluation.coco_eval import COCOEvaluator, format_results
 from ..modeling.paa_inference import PostProcessConfig, paa_postprocess
 
 
-def make_eval_fn(model, variables, pp=None):
+def make_eval_fn(model, variables, pp=None, mesh=None):
     """Returns eval_fn(images, image_sizes) jitted per input shape.
 
     The model provides the body (dense heads and two-stage R-CNN expose
     the same make_eval_fn protocol); ``pp`` is retained for signature
     compatibility and unused.
     """
-    return model.make_eval_fn(variables)
+    return model.make_eval_fn(variables, mesh=mesh)
+
+
+def _eval_mesh(model):
+    """Local data mesh for eval, when this process has several devices
+    and the static eval batch divides across them (each process
+    evaluates its round-robin share of batches on its own chips)."""
+    n_local = len(jax.local_devices())
+    batch = model.cfg.TEST.IMS_PER_BATCH
+    if n_local > 1 and batch % n_local == 0:
+        from ..utils.comm import local_data_mesh
+
+        return local_data_mesh()
+    return None
 
 
 def compute_on_dataset(model, variables, loader, pp=None, logger=None):
-    eval_fn = make_eval_fn(model, variables, pp)
+    eval_fn = make_eval_fn(model, variables, pp, mesh=_eval_mesh(model))
     predictions = {}
     model_time = 0.0
     n_images = 0

@@ -177,12 +177,13 @@ class DetectionModel:
             loss_call=loss_call,
         )
 
-    def make_eval_fn(self, variables):
+    def make_eval_fn(self, variables, mesh=None):
         """eval_fn(images, image_sizes) -> detection dict; retraces per
-        input shape (anchors are static per shape)."""
+        input shape (anchors are static per shape). With a multi-device
+        ``mesh`` the batch shards over the data axis (shard_map)."""
+        from ..utils.comm import shard_eval_fn
 
-        @jax.jit
-        def eval_fn(images, image_sizes):
+        def body(variables, images, image_sizes):
             outputs = self.module.apply(variables, images)
             hw = images.shape[1:3]
             anchors, counts = self.anchors_for(hw)
@@ -190,7 +191,7 @@ class DetectionModel:
                 outputs, image_sizes, jnp.asarray(anchors), counts
             )
 
-        return eval_fn
+        return shard_eval_fn(body, variables, mesh)
 
 
 def build_backbone(cfg, dtype=jnp.float32):

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.nms import nms_auto as nms
+from ..ops.nms import nms_batched_auto as nms_batched
 from ..structures.boxes import box_iou, clip_to_image
 from .box_coder import decode_box, encode_box
 from .layers import conv, head_normal_init
@@ -106,49 +107,57 @@ class RPNConfig:
 
 
 def select_proposals(outputs, image_sizes, anchors, level_counts, rc):
-    """Static-shape proposal selection.
+    """Static-shape proposal selection, batched over images.
 
-    Returns (proposals (B, K, 4), scores (B, K), valid (B, K)) with
-    K = fpn_post_nms_top_n.
+    Per level: batched top-k on objectness, decode, clip, then ONE
+    batched NMS call for the whole batch (the Pallas lock-step kernel on
+    TPU — see ops/nms_pallas.nms_pallas_batched). Returns (proposals
+    (B, K, 4), scores (B, K), valid (B, K)) with K = fpn_post_nms_top_n.
     """
+    obj = outputs["objectness"]
+    reg = outputs["box_regression"]
+    bsz = obj.shape[0]
+    sizes = image_sizes.astype(jnp.float32)
 
-    def single(obj, reg, size):
-        level_boxes, level_scores, level_valid = [], [], []
-        start = 0
-        for count in level_counts:
-            sl = slice(start, start + count)
-            o = obj[sl].astype(jnp.float32)
-            k = min(rc.pre_nms_top_n, count)
-            top_o, idx = jax.lax.top_k(o, k)
-            boxes = decode_box(
-                reg[sl][idx].astype(jnp.float32),
-                anchors[sl][idx],
-                weights=(1.0, 1.0, 1.0, 1.0),
-            )
-            boxes = clip_to_image(boxes, size.astype(boxes.dtype))
-            w = boxes[:, 2] - boxes[:, 0] + 1.0
-            h = boxes[:, 3] - boxes[:, 1] + 1.0
-            valid = (w >= rc.min_size) & (h >= rc.min_size)
-            keep_n = min(rc.post_nms_top_n, k)
-            kidx, kscores, kvalid = nms(
-                boxes, top_o, jnp.zeros(k, jnp.int32), valid,
-                rc.nms_thresh, keep_n, class_aware=False,
-            )
-            level_boxes.append(boxes[kidx])
-            level_scores.append(kscores)
-            level_valid.append(kvalid)
-            start += count
-        boxes = jnp.concatenate(level_boxes)
-        scores = jnp.concatenate(level_scores)
-        valid = jnp.concatenate(level_valid)
-        # FPN: keep the overall top fpn_post_nms_top_n by score
-        k = min(rc.fpn_post_nms_top_n, scores.shape[0])
-        masked = jnp.where(valid, scores, -jnp.inf)
-        top_s, idx = jax.lax.top_k(masked, k)
-        return boxes[idx], top_s, jnp.isfinite(top_s)
-
-    return jax.vmap(single)(
-        outputs["objectness"], outputs["box_regression"], image_sizes
+    level_boxes, level_scores, level_valid = [], [], []
+    start = 0
+    for count in level_counts:
+        sl = slice(start, start + count)
+        o = obj[:, sl].astype(jnp.float32)  # (B, count)
+        k = min(rc.pre_nms_top_n, count)
+        top_o, idx = jax.lax.top_k(o, k)  # (B, k)
+        reg_sel = jnp.take_along_axis(
+            reg[:, sl].astype(jnp.float32), idx[..., None], axis=1
+        )
+        boxes = decode_box(
+            reg_sel, anchors[sl][idx], weights=(1.0, 1.0, 1.0, 1.0)
+        )  # (B, k, 4)
+        boxes = clip_to_image(boxes, sizes)
+        w = boxes[..., 2] - boxes[..., 0] + 1.0
+        h = boxes[..., 3] - boxes[..., 1] + 1.0
+        valid = (w >= rc.min_size) & (h >= rc.min_size)
+        keep_n = min(rc.post_nms_top_n, k)
+        kidx, kscores, kvalid = nms_batched(
+            boxes, top_o, jnp.zeros((bsz, k), jnp.int32), valid,
+            rc.nms_thresh, keep_n, class_aware=False,
+        )
+        level_boxes.append(
+            jnp.take_along_axis(boxes, kidx[..., None], axis=1)
+        )
+        level_scores.append(kscores)
+        level_valid.append(kvalid)
+        start += count
+    boxes = jnp.concatenate(level_boxes, axis=1)
+    scores = jnp.concatenate(level_scores, axis=1)
+    valid = jnp.concatenate(level_valid, axis=1)
+    # FPN: keep the overall top fpn_post_nms_top_n by score
+    k = min(rc.fpn_post_nms_top_n, scores.shape[1])
+    masked = jnp.where(valid, scores, -jnp.inf)
+    top_s, idx = jax.lax.top_k(masked, k)
+    return (
+        jnp.take_along_axis(boxes, idx[..., None], axis=1),
+        top_s,
+        jnp.isfinite(top_s),
     )
 
 

@@ -176,17 +176,19 @@ class TwoStageModel:
     def postprocess_config(self):
         return ROIBoxConfig.from_cfg(self.cfg)
 
-    def make_eval_fn(self, variables):
+    def make_eval_fn(self, variables, mesh=None):
         """eval_fn(images, image_sizes) -> detection dict; retraces per
-        input shape (anchors are static per shape)."""
+        input shape (anchors are static per shape). With a multi-device
+        ``mesh`` the batch shards over the data axis (shard_map)."""
+        from ..utils.comm import shard_eval_fn
 
-        @jax.jit
-        def eval_fn(images, image_sizes):
+        def body(variables, images, image_sizes):
             hw = images.shape[1:3]
-            body = faster_rcnn_eval_fn(self, hw)
-            return body(variables, images, image_sizes)
+            return faster_rcnn_eval_fn(self, hw)(
+                variables, images, image_sizes
+            )
 
-        return eval_fn
+        return shard_eval_fn(body, variables, mesh)
 
 
 def build_faster_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
@@ -502,11 +504,11 @@ class RPNOnlyModel:
     def postprocess_config(self):
         return RPNConfig.from_cfg(self.cfg, is_train=False)
 
-    def make_eval_fn(self, variables):
+    def make_eval_fn(self, variables, mesh=None):
         rc = RPNConfig.from_cfg(self.cfg, is_train=False)
+        from ..utils.comm import shard_eval_fn
 
-        @jax.jit
-        def eval_fn(images, image_sizes):
+        def body(variables, images, image_sizes):
             hw = images.shape[1:3]
             anchors, counts = self.anchors_for(hw)
             rpn_out = self.module.apply(variables, images)
@@ -520,7 +522,7 @@ class RPNOnlyModel:
                 "valid": valid,
             }
 
-        return eval_fn
+        return shard_eval_fn(body, variables, mesh)
 
 
 def build_rpn_only(cfg, dtype=jnp.float32) -> RPNOnlyModel:

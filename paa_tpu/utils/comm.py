@@ -34,6 +34,39 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def local_data_mesh():
+    """Mesh over THIS PROCESS's devices, for eval sharding (each process
+    evaluates its own round-robin share of batches on its own chips)."""
+    devices = jax.local_devices()
+    return Mesh(np.array(devices), ("data",))
+
+
+def shard_eval_fn(body, variables, mesh=None):
+    """jit ``body(variables, images, image_sizes)`` over the mesh's data
+    axis via shard_map, replicating the params.
+
+    shard_map (not pjit sharding annotations) because the inference path
+    ends in a Pallas kernel (batched NMS), and custom calls have no SPMD
+    partitioning rule — under shard_map each shard runs the kernel on
+    its own batch slice. ``mesh=None`` or a 1-device mesh falls back to
+    plain jit (NamedSharding-annotated programs dispatch ~100x slower on
+    1-device meshes on the axon platform — see bench.py).
+    """
+    if mesh is None or mesh.devices.size == 1:
+        return jax.jit(
+            lambda images, sizes: body(variables, images, sizes)
+        )
+    pvars = jax.tree.map(lambda _: P(), variables)
+    sm = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(pvars, P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(lambda images, sizes: sm(variables, images, sizes))
+
+
 def get_world_size():
     return jax.device_count()
 
