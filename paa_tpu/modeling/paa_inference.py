@@ -36,6 +36,14 @@ _SCORE_VOTING_SIGMA = 0.025  # reference inference.py:128
 _IOU_VOTE_MIN = 0.01  # reference inference.py:141
 
 
+def _logit(th, dtype):
+    """sigmoid(x) > th  <=>  x > logit(th), evaluated in the logits'
+    own dtype so the candidate mask never needs the f32 sigmoid."""
+    import math
+
+    return jnp.asarray(math.log(th) - math.log1p(-th), dtype)
+
+
 @dataclass(frozen=True)
 class PostProcessConfig:
     pre_nms_thresh: float = 0.05
@@ -71,7 +79,10 @@ def _select_level(cls_logits, box_regression, iou_pred, anchors, pp,
     """
     n, c = cls_logits.shape
     cls_prob = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    cand = cls_prob > pp.pre_nms_thresh  # threshold on RAW cls scores
+    # threshold on RAW cls scores, compared in logit space on the raw
+    # dtype (sigmoid is monotone; saves materializing a f32 sigmoid of
+    # the full logits just for the mask — same rule as the batched path)
+    cand = cls_logits > _logit(pp.pre_nms_thresh, cls_logits.dtype)
     if iou_pred is not None:
         iou_prob = jax.nn.sigmoid(iou_pred.astype(jnp.float32))
         fused = jnp.sqrt(cls_prob * iou_prob[:, None])
@@ -187,21 +198,18 @@ def _select_level_batched(cls_logits, box_regression, iou_pred, anchors,
     bsz, n, c = cls_logits.shape
     m_flat = n * c
     k = min(pp.pre_nms_top_n, m_flat)
-    cls32 = cls_logits.astype(jnp.float32)
-    iou32 = (
-        None if iou_pred is None else iou_pred.astype(jnp.float32)
-    )
-    # one fused pass: sigmoid + compare, no full score materialization
-    cand = (jax.nn.sigmoid(cls32) > pp.pre_nms_thresh).reshape(
-        bsz, m_flat
-    )
+    decode = decode_fn or decode_box
+    # candidate mask straight off the raw-dtype logits (logit-space
+    # threshold) — no f32 sigmoid over the full (B, N*C) tensor
+    cand = (
+        cls_logits > _logit(pp.pre_nms_thresh, cls_logits.dtype)
+    ).reshape(bsz, m_flat)
 
     # two-level candidate indexing: per-block counts + tiny prefix; the
     # j-th candidate is found by one broadcast compare over the block
     # prefix and one scan over a single gathered S-wide block row. This
-    # costs ~3 ms for all levels at 800x1344 B=8 where a flat cumsum +
-    # vmapped searchsorted over the 1.3M-element array costs ~10 ms and
-    # lax.top_k 15 ms.
+    # replaces a flat 1.3M-element top_k (15 ms at 800x1344 B=8) and a
+    # flat-cumsum + searchsorted (~10 ms) with ~1-3 ms of work.
     S = 512
     pad = (-m_flat) % S
     blocks = jnp.pad(cand, ((0, 0), (0, pad))).reshape(bsz, -1, S)
@@ -211,69 +219,99 @@ def _select_level_batched(cls_logits, box_regression, iou_pred, anchors,
     total = bprefix[:, -1]
     max_cand = total.max()
 
-    def _fused_scores():
-        cls_prob = jax.nn.sigmoid(cls32)
-        if iou32 is None:
-            return cls_prob
-        return jnp.sqrt(cls_prob * jax.nn.sigmoid(iou32)[..., None])
+    def _finish(score, flat_idx, kk):
+        """Per-candidate gathers + decode at tier width kk, padded to
+        the static k slots (padding scores -1 => invalid)."""
+        anchor_idx = flat_idx // c
+        labels = (flat_idx % c + 1).astype(jnp.int32)
+        reg_sel = jnp.take_along_axis(
+            box_regression.astype(jnp.float32),
+            anchor_idx[..., None], axis=1,
+        )
+        boxes = decode(reg_sel * reg_scale, anchors[anchor_idx])
+        if kk < k:
+            boxes = jnp.pad(boxes, ((0, 0), (0, k - kk), (0, 0)))
+            score = jnp.pad(
+                score, ((0, 0), (0, k - kk)), constant_values=-1.0
+            )
+            labels = jnp.pad(labels, ((0, 0), (0, k - kk)))
+        return boxes, score, labels
 
     def topk_path(_):
-        fused = _fused_scores()
+        cls_prob = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+        if iou_pred is None:
+            fused = cls_prob
+        else:
+            fused = jnp.sqrt(
+                cls_prob
+                * jax.nn.sigmoid(iou_pred.astype(jnp.float32))[..., None]
+            )
         masked = jnp.where(
             cand.reshape(bsz, n, c), fused, -1.0
         ).reshape(bsz, m_flat)
         s, i = jax.lax.top_k(masked, k)
-        return s, i.astype(jnp.int32)
+        return _finish(s, i.astype(jnp.int32), k)
 
-    def compact_path(_):
-        targets = jnp.arange(1, k + 1, dtype=jnp.int32)  # (k,)
-        # block of the j-th candidate: #blocks with prefix < j
-        bidx = (
-            bprefix[:, None, :] < targets[None, :, None]
-        ).sum(axis=2, dtype=jnp.int32)  # (B, k)
-        bidx_c = jnp.minimum(bidx, g - 1)
-        base = jnp.where(
-            bidx_c > 0,
-            jnp.take_along_axis(
-                bprefix, jnp.maximum(bidx_c - 1, 0), axis=1
-            ),
-            0,
-        )
-        local_t = targets[None, :] - base  # 1-based rank within block
-        rows = jnp.take_along_axis(
-            blocks.astype(jnp.int32), bidx_c[..., None], axis=1
-        )  # (B, k, S)
-        within = (
-            jnp.cumsum(rows, axis=2) < local_t[..., None]
-        ).sum(axis=2, dtype=jnp.int32)
-        flat_idx = jnp.minimum(bidx_c * S + within, m_flat - 1)
-        slot_valid = targets[None, :] <= total[:, None]
+    def compact_path(kk):
+        """Emit the first kk candidates in index order (greedy NMS and
+        score voting are order-independent, so index order == score
+        order in results). Work per slot is O(G) + O(S), so the small
+        tier (kk=128, the common sparse case at eval) is ~8x cheaper
+        than the full kk=k tier."""
 
-        # scores only for the k selected candidates
-        sel_cls = jnp.take_along_axis(
-            cls32.reshape(bsz, m_flat), flat_idx, axis=1
-        )
-        score = jax.nn.sigmoid(sel_cls)
-        if iou32 is not None:
-            sel_iou = jnp.take_along_axis(
-                iou32, flat_idx // c, axis=1
+        def fn(_):
+            targets = jnp.arange(1, kk + 1, dtype=jnp.int32)
+            # block of the j-th candidate: #blocks with prefix < j
+            bidx = (
+                bprefix[:, None, :] < targets[None, :, None]
+            ).sum(axis=2, dtype=jnp.int32)  # (B, kk)
+            bidx_c = jnp.minimum(bidx, g - 1)
+            base = jnp.where(
+                bidx_c > 0,
+                jnp.take_along_axis(
+                    bprefix, jnp.maximum(bidx_c - 1, 0), axis=1
+                ),
+                0,
             )
-            score = jnp.sqrt(score * jax.nn.sigmoid(sel_iou))
-        return jnp.where(slot_valid, score, -1.0), flat_idx
+            local_t = targets[None, :] - base  # 1-based rank in block
+            rows = jnp.take_along_axis(
+                blocks.astype(jnp.int32), bidx_c[..., None], axis=1
+            )  # (B, kk, S)
+            within = (
+                jnp.cumsum(rows, axis=2) < local_t[..., None]
+            ).sum(axis=2, dtype=jnp.int32)
+            flat_idx = jnp.minimum(bidx_c * S + within, m_flat - 1)
+            slot_valid = targets[None, :] <= total[:, None]
 
-    scores, flat_idx = jax.lax.cond(
-        max_cand <= k, compact_path, topk_path, 0
-    )
-    anchor_idx = flat_idx // c
-    labels = (flat_idx % c + 1).astype(jnp.int32)
-    valid = scores > 0.0
+            # scores only for the kk selected candidates
+            sel_cls = jnp.take_along_axis(
+                cls_logits.reshape(bsz, m_flat), flat_idx, axis=1
+            ).astype(jnp.float32)
+            score = jax.nn.sigmoid(sel_cls)
+            if iou_pred is not None:
+                sel_iou = jnp.take_along_axis(
+                    iou_pred, flat_idx // c, axis=1
+                ).astype(jnp.float32)
+                score = jnp.sqrt(score * jax.nn.sigmoid(sel_iou))
+            return _finish(
+                jnp.where(slot_valid, score, -1.0), flat_idx, kk
+            )
 
-    decode = decode_fn or decode_box
-    reg_sel = jnp.take_along_axis(
-        box_regression.astype(jnp.float32), anchor_idx[..., None], axis=1
-    )
-    boxes = decode(reg_sel * reg_scale, anchors[anchor_idx])
-    return boxes, scores, labels, valid
+        return fn
+
+    small = min(128, k)
+    if small < k:
+        fallback = lambda op: jax.lax.cond(  # noqa: E731
+            max_cand <= k, compact_path(k), topk_path, op
+        )
+        boxes, scores, labels = jax.lax.cond(
+            max_cand <= small, compact_path(small), fallback, 0
+        )
+    else:
+        boxes, scores, labels = jax.lax.cond(
+            max_cand <= k, compact_path(k), topk_path, 0
+        )
+    return boxes, scores, labels, scores > 0.0
 
 
 def paa_postprocess(outputs, image_sizes, anchors, level_counts, pp,
