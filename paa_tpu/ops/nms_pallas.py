@@ -40,8 +40,12 @@ def _nms_kernel(boxes_ref, scores_ref, labels_ref, thresh_ref,
     m = keep_idx_ref.shape[1]
     out_cols = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)[0]
 
-    def body(i, carry):
-        scores, out_idx, out_scores, out_valid = carry
+    def cond(carry):
+        i, alive, *_ = carry
+        return (i < max_out) & alive
+
+    def body(carry):
+        i, _, scores, out_idx, out_scores, out_valid = carry
         best_score = jnp.max(scores)
         # first index achieving the max
         is_best = scores == best_score
@@ -79,16 +83,21 @@ def _nms_kernel(boxes_ref, scores_ref, labels_ref, thresh_ref,
         out_scores = jnp.where(slot, best_score, out_scores)
         out_valid = jnp.where(slot, valid.astype(jnp.int32), out_valid)
         new_scores = jnp.where(suppress & valid, _NEG_INF, scores)
-        return new_scores, out_idx, out_scores, out_valid
+        # early exit once exhausted: remaining slots keep their init
+        # values (score -inf => invalid), identical results
+        return (i + 1, valid, new_scores,
+                out_idx, out_scores, out_valid)
 
     init = (
+        jnp.int32(0),
+        True,
         scores_ref[0, :],
         jnp.zeros((m,), jnp.int32),
         jnp.full((m,), _NEG_INF, jnp.float32),
         jnp.zeros((m,), jnp.int32),
     )
-    _, out_idx, out_scores, out_valid = jax.lax.fori_loop(
-        0, max_out, body, init
+    _, _, _, out_idx, out_scores, out_valid = jax.lax.while_loop(
+        cond, body, init
     )
     keep_idx_ref[0, :] = out_idx
     keep_scores_ref[0, :] = out_scores
@@ -118,8 +127,12 @@ def _nms_kernel_batched(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref,
     m = keep_idx_ref.shape[1]
     out_cols = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
 
-    def body(i, carry):
-        scores, out_idx, out_scores, out_valid = carry
+    def cond(carry):
+        i, alive, *_ = carry
+        return (i < max_out) & alive
+
+    def body(carry):
+        i, _, scores, out_idx, out_scores, out_valid = carry
         best = jnp.max(scores, axis=1, keepdims=True)  # (B, 1)
         is_best = scores == best
         idx = jnp.min(jnp.where(is_best, col_ids, n), axis=1,
@@ -153,16 +166,21 @@ def _nms_kernel_batched(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref,
         out_scores = jnp.where(slot, best, out_scores)
         out_valid = jnp.where(slot, valid.astype(jnp.int32), out_valid)
         new_scores = jnp.where(suppress & valid, _NEG_INF, scores)
-        return new_scores, out_idx, out_scores, out_valid
+        # early exit once every row is exhausted: remaining slots keep
+        # their init values (score -inf => invalid), identical results
+        return (i + 1, jnp.any(valid), new_scores,
+                out_idx, out_scores, out_valid)
 
     init = (
+        jnp.int32(0),
+        True,
         scores_ref[...],
         jnp.zeros((b, m), jnp.int32),
         jnp.full((b, m), _NEG_INF, jnp.float32),
         jnp.zeros((b, m), jnp.int32),
     )
-    _, out_idx, out_scores, out_valid = jax.lax.fori_loop(
-        0, max_out, body, init
+    _, _, _, out_idx, out_scores, out_valid = jax.lax.while_loop(
+        cond, body, init
     )
     keep_idx_ref[...] = out_idx
     keep_scores_ref[...] = out_scores
