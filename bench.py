@@ -4,8 +4,8 @@
 Runs the flagship model's full inference path (ResNet-50+FPN+PAA head
 forward + on-device post-processing incl. class-aware NMS and score
 voting) on one chip at the standard COCO eval resolution bucket
-(800x1344), bf16 compute, batch 32 (throughput-optimal on v5e; B=16 is
-~3% lower, B=8 ~12%), and reports images/sec/chip.
+(800x1344), bf16 compute, batch 48 (throughput-optimal on v5e; B=32 is
+~1% lower, B=16 ~3%), and reports images/sec/chip.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6);
 its eval loop logs s/img at runtime. A PAA-R50 torch model at batch 1 on
@@ -55,7 +55,7 @@ def main():
 
     model = build_detection_model(cfg)
     hw = (800, 1344)
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "48"))
 
     variables = model.init(jax.random.PRNGKey(0), hw)
     anchors, counts = model.anchors_for(hw)
