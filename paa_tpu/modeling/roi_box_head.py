@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.nms import nms_auto as nms
+from ..ops.nms import nms_batched_auto as nms_batched
 from ..ops.roi_align import multilevel_roi_align
 from ..structures.boxes import box_iou, clip_to_image
 from .box_coder import decode_box, encode_box
@@ -274,6 +275,52 @@ def roi_box_postprocess(cls_logits, box_deltas, rois, roi_valid,
         "boxes": flat_boxes[kidx],
         "scores": jnp.where(kvalid, kscores, 0.0),
         "labels": jnp.where(kvalid, labels[kidx], 0),
+        "valid": kvalid,
+    }
+
+
+def roi_box_postprocess_batched(cls_logits, box_deltas, rois, roi_valid,
+                                image_sizes, bc: ROIBoxConfig):
+    """Whole-batch PostProcessor: same semantics as
+    vmap(roi_box_postprocess) but with ONE batched NMS dispatch (the
+    lock-step Pallas kernel on TPU, VMEM-chunked over images).
+
+    cls_logits (B, R, C); box_deltas (B, R, C, 4); rois (B, R, 4);
+    roi_valid (B, R); image_sizes (B, 2).
+    """
+    bsz, r, c = cls_logits.shape
+    probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+    boxes = decode_box(
+        box_deltas.astype(jnp.float32),
+        jnp.broadcast_to(rois[:, :, None, :], (bsz, r, c, 4)),
+        weights=_REG_WEIGHTS,
+    )  # (B, R, C, 4)
+    boxes = clip_to_image(
+        boxes.reshape(bsz, -1, 4), image_sizes.astype(jnp.float32)
+    ).reshape(bsz, r, c, 4)
+
+    # skip background column 0
+    scores = probs[:, :, 1:].reshape(bsz, -1)  # (B, R*(C-1))
+    flat_boxes = boxes[:, :, 1:, :].reshape(bsz, -1, 4)
+    labels = jnp.tile(
+        jnp.arange(1, c, dtype=jnp.int32)[None, None], (bsz, r, 1)
+    ).reshape(bsz, -1)
+    valid = (
+        (scores > bc.score_thresh)
+        & jnp.repeat(roi_valid, c - 1, axis=1)
+    )
+    kidx, kscores, kvalid = nms_batched(
+        flat_boxes, scores, labels, valid, bc.nms_thresh,
+        bc.detections_per_img, class_aware=True,
+    )
+    return {
+        "boxes": jnp.take_along_axis(
+            flat_boxes, kidx[..., None], axis=1
+        ),
+        "scores": jnp.where(kvalid, kscores, 0.0),
+        "labels": jnp.where(
+            kvalid, jnp.take_along_axis(labels, kidx, axis=1), 0
+        ),
         "valid": kvalid,
     }
 

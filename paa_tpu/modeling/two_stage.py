@@ -29,7 +29,7 @@ from .roi_box_head import (
     FPNXconvBoxHead,
     ROIBoxConfig,
     roi_box_loss,
-    roi_box_postprocess,
+    roi_box_postprocess_batched,
     subsample_proposals,
 )
 from .rpn import RPNConfig, RPNHead, rpn_loss, select_proposals
@@ -685,16 +685,13 @@ def faster_rcnn_eval_fn(model: TwoStageModel, image_hw):
             method=FasterRCNN.box,
         )
         c = cls_logits.shape[-1]
-        det = jax.vmap(
-            lambda cl, bd, r, v, sz: roi_box_postprocess(
-                cl, bd, r, v, sz, bc
-            )
-        )(
+        det = roi_box_postprocess_batched(
             cls_logits.reshape(bsz, k, c),
             box_deltas.reshape(bsz, k, c, 4),
             proposals,
             p_valid,
             image_sizes,
+            bc,
         )
 
         if cfg.MODEL.MASK_ON:

@@ -37,6 +37,7 @@ def _iou_row(box, boxes):
 
 
 _FORCED_IMPL = None  # None = auto; 'pallas' | 'scan' force a backend
+_VMEM_NMS_BUDGET = 12e6  # bytes the batched kernel may keep resident
 
 
 def set_nms_impl(impl):
@@ -86,9 +87,28 @@ def nms_batched_auto(boxes, scores, labels, valid, iou_threshold,
     if impl == "pallas":
         from .nms_pallas import nms_pallas_batched
 
-        return nms_pallas_batched(
-            boxes, scores, labels, valid, iou_threshold, max_out,
-            class_aware=class_aware,
+        # chunk images so the kernel's working set (~28 bytes per
+        # candidate: 4 coords + score + label + area, f32) stays within
+        # a VMEM budget — two-stage heads bring ~80k candidates/image
+        bsz, n = scores.shape
+        npad = max(n + (-n) % 128, 256)
+        chunk = max(1, int(_VMEM_NMS_BUDGET // (npad * 28)))
+        if chunk >= bsz:
+            return nms_pallas_batched(
+                boxes, scores, labels, valid, iou_threshold, max_out,
+                class_aware=class_aware,
+            )
+        parts = [
+            nms_pallas_batched(
+                boxes[i:i + chunk], scores[i:i + chunk],
+                labels[i:i + chunk], valid[i:i + chunk],
+                iou_threshold, max_out, class_aware=class_aware,
+            )
+            for i in range(0, bsz, chunk)
+        ]
+        return tuple(
+            jnp.concatenate([p[j] for p in parts], axis=0)
+            for j in range(3)
         )
     return jax.vmap(
         lambda b, s, l, v: nms(

@@ -198,3 +198,89 @@ def test_faster_rcnn_end_to_end_tiny():
     det = jax.jit(eval_fn)(variables, images, sizes)
     assert det["boxes"].shape[0] == 1
     assert det["boxes"].shape[2] == 4
+
+
+def test_roi_box_postprocess_batched_matches_vmap():
+    """roi_box_postprocess_batched == vmap(roi_box_postprocess): same
+    kept sets/labels/scores (the eval fn now uses the batched form with
+    one lock-step NMS dispatch)."""
+    from paa_tpu.modeling.roi_box_head import (
+        roi_box_postprocess_batched,
+    )
+
+    rng = np.random.RandomState(3)
+    b, r, c = 3, 40, 6
+    cls_logits = jnp.asarray(
+        rng.normal(0, 2, (b, r, c)).astype(np.float32)
+    )
+    box_deltas = jnp.asarray(
+        rng.normal(0, 0.3, (b, r, c, 4)).astype(np.float32)
+    )
+    rois = rng.uniform(0, 80, (b, r, 4)).astype(np.float32)
+    rois[..., 2:] += rois[..., :2] + 8
+    rois = jnp.asarray(rois)
+    roi_valid = jnp.asarray(rng.rand(b, r) > 0.2)
+    sizes = jnp.asarray(
+        np.tile(np.array([[120.0, 160.0]], np.float32), (b, 1))
+    )
+    bc = ROIBoxConfig(detections_per_img=12)
+
+    ref = jax.vmap(
+        lambda cl, bd, ro, v, sz: roi_box_postprocess(
+            cl, bd, ro, v, sz, bc
+        )
+    )(cls_logits, box_deltas, rois, roi_valid, sizes)
+    got = roi_box_postprocess_batched(
+        cls_logits, box_deltas, rois, roi_valid, sizes, bc
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref["valid"]), np.asarray(got["valid"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref["labels"]), np.asarray(got["labels"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["scores"]), np.asarray(got["scores"]),
+        rtol=1e-6,
+    )
+    kv = np.asarray(ref["valid"])
+    np.testing.assert_allclose(
+        np.asarray(ref["boxes"])[kv], np.asarray(got["boxes"])[kv],
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_nms_batched_vmem_chunking(monkeypatch):
+    """With a tiny VMEM budget the pallas dispatch splits the batch into
+    image chunks; results are identical to the unchunked path."""
+    import importlib
+
+    # paa_tpu.ops re-exports the nms FUNCTION under the same name, so
+    # fetch the submodule explicitly
+    nms_mod = importlib.import_module("paa_tpu.ops.nms")
+
+    rng = np.random.RandomState(5)
+    b, n = 5, 300
+    boxes = rng.uniform(0, 200, (b, n, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(5, 60, (b, n, 2))
+    boxes = jnp.asarray(boxes)
+    scores = jnp.asarray(rng.uniform(0, 1, (b, n)).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, (b, n)).astype(np.int32))
+    valid = jnp.asarray(rng.rand(b, n) > 0.3)
+
+    ref = jax.vmap(
+        lambda bx, s, l, v: nms_mod.nms(bx, s, l, v, 0.5, 16)
+    )(boxes, scores, labels, valid)
+
+    monkeypatch.setattr(nms_mod, "_FORCED_IMPL", "pallas")
+    monkeypatch.setattr(nms_mod, "_VMEM_NMS_BUDGET", 300 * 28 * 2)
+    got = nms_mod.nms_batched_auto(
+        boxes, scores, labels, valid, 0.5, 16
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref[2]), np.asarray(got[2])
+    )
+    kv = np.asarray(ref[2])
+    np.testing.assert_array_equal(
+        np.asarray(ref[0])[kv], np.asarray(got[0])[kv]
+    )
