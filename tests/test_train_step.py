@@ -112,12 +112,23 @@ def test_sgd_matches_torch_semantics():
 
 @pytest.mark.slow
 def test_dryrun_multichip_8cpu():
+    """Run the driver's multichip dryrun exactly as the driver does —
+    a fresh subprocess. (In-process after the ~290 preceding tests the
+    XLA CPU runtime can abort on this, the suite's biggest program;
+    isolation also validates the real standalone invocation.)"""
+    import os
+    import subprocess
     import sys
-    sys.path.insert(0, "/root/repo")
-    import __graft_entry__
 
-    assert jax.device_count() >= 8
-    __graft_entry__.dryrun_multichip(8)
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # dryrun forces the cpu mesh itself
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py")],
+        capture_output=True, text=True, timeout=1500, env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    assert "dryrun_multichip ok" in r.stdout
 
 
 def test_entry_compiles():
