@@ -221,7 +221,7 @@ def _paa_positive_mask(combined_loss, cand_idx, cand_valid, gmm_iters):
 
 
 def paa_loss(outputs, gt_boxes, gt_labels, anchors, level_counts, lc,
-             num_shards=1):
+             num_shards=1, return_aux=False):
     """Compute the PAA losses for one (global) batch.
 
     Args:
@@ -235,6 +235,9 @@ def paa_loss(outputs, gt_boxes, gt_labels, anchors, level_counts, lc,
         num_shards: number of data-parallel shards — reproduces the
             reference's per-GPU loss averaging semantics under gradient
             averaging (loss.py:317-322,338).
+        return_aux: also return per-anchor assignment internals
+            (labels_paa, pos_mask, combined_loss) for parity tests
+            against the reference torch loss (loss.py:310-315).
 
     Returns dict(loss_cls, loss_reg, loss_iou_pred, num_pos).
     """
@@ -326,4 +329,12 @@ def paa_loss(outputs, gt_boxes, gt_labels, anchors, level_counts, lc,
     out["loss_cls"] = loss_cls
     out["loss_reg"] = loss_reg
     out["num_pos"] = num_pos
+    if return_aux:
+        aux = {
+            "labels_paa": labels_paa,
+            "pos_mask": pos_mask,
+            "combined_loss": combined_loss,
+            "iou_labels": iou_labels,
+        }
+        return out, aux
     return out
