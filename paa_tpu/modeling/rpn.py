@@ -81,6 +81,7 @@ class RPNConfig:
     bg_iou_threshold: float = 0.3
     batch_size_per_image: int = 256
     positive_fraction: float = 0.5
+    straddle_thresh: float = 0.0
 
     @staticmethod
     def from_cfg(cfg, is_train=False):
@@ -103,6 +104,7 @@ class RPNConfig:
             bg_iou_threshold=r.BG_IOU_THRESHOLD,
             batch_size_per_image=r.BATCH_SIZE_PER_IMAGE,
             positive_fraction=r.POSITIVE_FRACTION,
+            straddle_thresh=float(r.STRADDLE_THRESH),
         )
 
 
@@ -113,9 +115,15 @@ def select_proposals(outputs, image_sizes, anchors, level_counts, rc):
     batched NMS call for the whole batch (the Pallas lock-step kernel on
     TPU — see ops/nms_pallas.nms_pallas_batched). Returns (proposals
     (B, K, 4), scores (B, K), valid (B, K)) with K = fpn_post_nms_top_n.
+
+    Gradients are stopped at the INPUTS: proposals are constants w.r.t.
+    the RPN parameters (the reference computes them inside the no-grad
+    RPN postprocessor, rpn/inference.py), and stopping here — not on the
+    outputs — keeps reverse-mode autodiff from trying to linearize
+    through the non-differentiable Pallas NMS kernel under jit.
     """
-    obj = outputs["objectness"]
-    reg = outputs["box_regression"]
+    obj = jax.lax.stop_gradient(outputs["objectness"])
+    reg = jax.lax.stop_gradient(outputs["box_regression"])
     bsz = obj.shape[0]
     sizes = image_sizes.astype(jnp.float32)
 
@@ -191,8 +199,17 @@ def balanced_sample(labels, rng, batch_size, positive_fraction):
 
 
 def rpn_loss(outputs, gt_boxes, gt_labels, anchors, level_counts, rc,
-             rng, num_shards=1):
-    """RPNLossComputation (rpn/loss.py:92-131)."""
+             rng, num_shards=1, image_sizes=None):
+    """RPNLossComputation (rpn/loss.py:92-131).
+
+    image_sizes: optional (B, 2) float (height, width) of the TRUE
+        per-image sizes. When given, anchors straddling the image
+        boundary by more than rc.straddle_thresh are ignored (label -1),
+        matching the reference's 'not_visibility' discard
+        (rpn/loss.py:76-78, anchor_generator.py:97-110). Padded-grid
+        anchors beyond a smaller image are thereby excluded from the
+        objectness loss instead of being treated as negatives.
+    """
     objectness = outputs["objectness"].astype(jnp.float32)
     box_regression = outputs["box_regression"].astype(jnp.float32)
     anchors = jnp.asarray(anchors, jnp.float32)
@@ -207,6 +224,17 @@ def rpn_loss(outputs, gt_boxes, gt_labels, anchors, level_counts, rc,
     labels = jnp.where(
         matched >= 0, 1, jnp.where(matched == -2, -1, 0)
     ).astype(jnp.int32)
+    if image_sizes is not None and rc.straddle_thresh >= 0:
+        st = rc.straddle_thresh
+        h = image_sizes[:, 0:1].astype(jnp.float32)
+        w = image_sizes[:, 1:2].astype(jnp.float32)
+        visible = (
+            (anchors[None, :, 0] >= -st)
+            & (anchors[None, :, 1] >= -st)
+            & (anchors[None, :, 2] < w + st)
+            & (anchors[None, :, 3] < h + st)
+        )
+        labels = jnp.where(visible, labels, -1)
     clamped = jnp.maximum(matched, 0)
     matched_boxes = jnp.take_along_axis(
         gt_boxes, clamped[:, :, None], axis=1

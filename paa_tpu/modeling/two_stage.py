@@ -476,6 +476,7 @@ class RPNOnlyModel:
             losses = rpn_loss(
                 rpn_out, batch["gt_boxes"], batch["gt_labels"],
                 anchors_j, counts, rc, rng, num_shards,
+                image_sizes=batch.get("image_sizes"),
             )
             total = sum(
                 v for k, v in losses.items() if k.startswith("loss_")
@@ -589,7 +590,7 @@ def faster_rcnn_train_step_fns(model: TwoStageModel, image_hw,
         )
         losses = rpn_loss(
             rpn_out, gt_boxes, gt_labels, anchors_j, counts, rc,
-            rng, num_shards,
+            rng, num_shards, image_sizes=image_sizes,
         )
         proposals, p_scores, p_valid = jax.tree_util.tree_map(
             jax.lax.stop_gradient,

@@ -34,14 +34,18 @@ import ref_torch
 STRIDES = (8, 16, 32, 64, 128)
 SHAPES = ((16, 20), (8, 10), (4, 5), (2, 3), (1, 2))
 IMG_W, IMG_H = 160, 128
+# bigger layout for ATSS: the reference's per-level topk(9) requires
+# >= 9 anchors on EVERY level (atss/loss.py:155) or torch.topk raises
+BIG_SHAPES = ((48, 64), (24, 32), (12, 16), (6, 8), (3, 4))
+BIG_W, BIG_H = 512, 384
 
 
-def make_anchors():
+def make_anchors(shapes=SHAPES, strides=STRIDES):
     """Per-level anchor grids, 1 anchor/location of size 8*stride centered
     on the cell (the PAA default layout: defaults.py:296-301). Returns a
     list of (n_l, 4) float32 arrays in level order."""
     out = []
-    for stride, (h, w) in zip(STRIDES, SHAPES):
+    for stride, (h, w) in zip(strides, shapes):
         size = 8.0 * stride
         ys, xs = np.meshgrid(
             np.arange(h, dtype=np.float32),
@@ -58,7 +62,25 @@ def make_anchors():
     return out
 
 
-def make_gts(rng, batch, max_gt, include_tiny=True):
+def make_locations(shapes=SHAPES, strides=STRIDES):
+    """FCOS per-level location grids (fcos.py compute_locations):
+    (x*stride + stride//2, y*stride + stride//2)."""
+    out = []
+    for stride, (h, w) in zip(strides, shapes):
+        ys, xs = np.meshgrid(
+            np.arange(h, dtype=np.float32),
+            np.arange(w, dtype=np.float32),
+            indexing="ij",
+        )
+        pts = np.stack(
+            [xs * stride + stride // 2, ys * stride + stride // 2], axis=-1
+        ).reshape(-1, 2)
+        out.append(pts.astype(np.float32))
+    return out
+
+
+def make_gts(rng, batch, max_gt, include_tiny=True, img_w=IMG_W,
+             img_h=IMG_H):
     """Random xyxy GT boxes + labels per image; at least one tiny box per
     image (single-candidate path) when include_tiny."""
     boxes, labels, counts = [], [], []
@@ -67,19 +89,57 @@ def make_gts(rng, batch, max_gt, include_tiny=True):
         b = []
         for k in range(g):
             if include_tiny and k == 0:
-                x1 = rng.uniform(0, IMG_W - 6)
-                y1 = rng.uniform(0, IMG_H - 6)
+                x1 = rng.uniform(0, img_w - 6)
+                y1 = rng.uniform(0, img_h - 6)
                 w, h = rng.uniform(2, 5), rng.uniform(2, 5)
             else:
-                x1 = rng.uniform(0, IMG_W * 0.7)
-                y1 = rng.uniform(0, IMG_H * 0.7)
-                w = rng.uniform(8, IMG_W * 0.6)
-                h = rng.uniform(8, IMG_H * 0.6)
-            b.append([x1, y1, min(x1 + w, IMG_W - 1), min(y1 + h, IMG_H - 1)])
+                x1 = rng.uniform(0, img_w * 0.7)
+                y1 = rng.uniform(0, img_h * 0.7)
+                w = rng.uniform(8, img_w * 0.6)
+                h = rng.uniform(8, img_h * 0.6)
+            b.append([x1, y1, min(x1 + w, img_w - 1), min(y1 + h, img_h - 1)])
         boxes.append(np.asarray(b, np.float32))
         labels.append(rng.randint(1, 9, size=g).astype(np.int64))
         counts.append(g)
     return boxes, labels, counts
+
+
+def pad_gts(gt_boxes_np, gt_labels_np, batch):
+    g_max = max(len(b) for b in gt_boxes_np)
+    gt_boxes = np.zeros((batch, g_max, 4), np.float32)
+    gt_labels = np.zeros((batch, g_max), np.int32)
+    for i, (b, l) in enumerate(zip(gt_boxes_np, gt_labels_np)):
+        gt_boxes[i, : len(b)] = b
+        gt_labels[i, : len(l)] = l
+    return gt_boxes, gt_labels
+
+
+def make_ref_boxlists(gt_boxes_np, gt_labels_np, anchors_np, img_w, img_h,
+                      with_visibility=False, straddle=0.0):
+    """(targets, anchors) in the reference's BoxList format."""
+    import torch
+    from paa_core.structures.bounding_box import BoxList
+
+    targets, anchors_ref = [], []
+    for i in range(len(gt_boxes_np)):
+        bl = BoxList(torch.as_tensor(gt_boxes_np[i]), (img_w, img_h),
+                     mode="xyxy")
+        bl.add_field("labels", torch.as_tensor(gt_labels_np[i]))
+        targets.append(bl)
+        per_level = []
+        for a in anchors_np:
+            abl = BoxList(torch.as_tensor(a), (img_w, img_h), mode="xyxy")
+            if with_visibility:
+                # anchor_generator.py:97-110 add_visibility_to
+                vis = (
+                    (a[:, 0] >= -straddle) & (a[:, 1] >= -straddle)
+                    & (a[:, 2] < img_w + straddle)
+                    & (a[:, 3] < img_h + straddle)
+                )
+                abl.add_field("visibility", torch.as_tensor(vis))
+            per_level.append(abl)
+        anchors_ref.append(per_level)
+    return targets, anchors_ref
 
 
 @unittest.skipUnless(
@@ -265,6 +325,617 @@ class TestPAALossParity(unittest.TestCase):
         # one positive anchor somewhere (recovered low-quality match)
         self.assertGreater(int((ref_labels > 0).sum()), 0)
         self._assert_parity(ref_losses, ref_labels, out, aux)
+
+
+def _shim_focal(loss_evaluator, gamma, alpha):
+    """Work around the reference CPU focal-loss quirk (gamma[0]/alpha[0]
+    indexing in sigmoid_focal_loss.py:42-43)."""
+    loss_evaluator.cls_loss_func.gamma = [gamma]
+    loss_evaluator.cls_loss_func.alpha = [alpha]
+
+
+@unittest.skipUnless(
+    ref_torch.reference_available(), "reference checkout not present"
+)
+class TestATSSLossParity(unittest.TestCase):
+    """Our atss_loss vs the reference ATSSLossComputation
+    (atss/loss.py:27-276) for all three POSITIVE_TYPEs."""
+
+    NUM_CLASSES = 8
+
+    @classmethod
+    def setUpClass(cls):
+        import torch
+
+        cls.torch = torch
+        ref_torch.install_shims()
+        from paa_core.config import cfg as ref_cfg
+
+        if ref_cfg.is_frozen():
+            ref_cfg.defrost()
+        ref_cfg.merge_from_file(
+            ref_torch.REFERENCE_ROOT + "/configs/atss/atss_R_50_FPN_1x.yaml"
+        )
+        cls.ref_cfg = ref_cfg
+        cls.anchors_np = make_anchors(BIG_SHAPES, STRIDES)
+        cls.anchors_flat = np.concatenate(cls.anchors_np, axis=0)
+        cls.level_counts = tuple(len(a) for a in cls.anchors_np)
+
+    def _run_case(self, seed, positive_type, batch=2, max_gt=4):
+        torch = self.torch
+        cfg = self.ref_cfg
+        if cfg.is_frozen():
+            cfg.defrost()
+        cfg.MODEL.ATSS.POSITIVE_TYPE = positive_type
+        rng = np.random.RandomState(seed)
+
+        box_cls_t, box_reg_t, ctr_t = [], [], []
+        for (h, w) in BIG_SHAPES:
+            box_cls_t.append(torch.as_tensor(
+                rng.normal(-2.0, 1.0, (batch, self.NUM_CLASSES, h, w))
+                .astype(np.float32)))
+            box_reg_t.append(torch.as_tensor(
+                rng.normal(0.0, 0.5, (batch, 4, h, w)).astype(np.float32)))
+            ctr_t.append(torch.as_tensor(
+                rng.normal(0.0, 1.0, (batch, 1, h, w)).astype(np.float32)))
+
+        gt_boxes_np, gt_labels_np, _ = make_gts(
+            rng, batch, max_gt, include_tiny=(positive_type == "IoU"),
+            img_w=BIG_W, img_h=BIG_H,
+        )
+        targets, anchors_ref = make_ref_boxlists(
+            gt_boxes_np, gt_labels_np, self.anchors_np, BIG_W, BIG_H)
+
+        from paa_core.modeling.rpn.atss.loss import make_atss_loss_evaluator
+        from paa_core.modeling.rpn.atss.atss import BoxCoder
+
+        evaluator = make_atss_loss_evaluator(cfg, BoxCoder(cfg))
+        _shim_focal(evaluator, cfg.MODEL.ATSS.LOSS_GAMMA,
+                    cfg.MODEL.ATSS.LOSS_ALPHA)
+        captured = {}
+        orig = evaluator.prepare_targets
+
+        def capture(*a, **k):
+            labels, reg_targets = orig(*a, **k)
+            captured["labels"] = [l.clone() for l in labels]
+            return labels, reg_targets
+
+        evaluator.prepare_targets = capture
+        with torch.no_grad():
+            ref_losses = evaluator(
+                box_cls_t, box_reg_t, ctr_t, targets, anchors_ref)
+        ref_labels = np.stack(
+            [l.numpy() for l in captured["labels"]], axis=0)
+
+        # ---- ours ------------------------------------------------------
+        from paa_tpu.modeling.atss_loss import ATSSLossConfig, atss_loss
+
+        def flatten(ts, c):
+            return np.concatenate(
+                [ref_torch.permute_and_flatten(t, 1, c) for t in ts], axis=1)
+
+        outputs = {
+            "cls_logits": jnp.asarray(flatten(box_cls_t, self.NUM_CLASSES)),
+            "box_regression": jnp.asarray(flatten(box_reg_t, 4)),
+            "iou_pred": jnp.asarray(flatten(ctr_t, 1)[..., 0]),
+        }
+        gt_boxes, gt_labels = pad_gts(gt_boxes_np, gt_labels_np, batch)
+        lc = ATSSLossConfig(
+            gamma=cfg.MODEL.ATSS.LOSS_GAMMA,
+            alpha=cfg.MODEL.ATSS.LOSS_ALPHA,
+            topk=cfg.MODEL.ATSS.TOPK,
+            fg_iou_threshold=cfg.MODEL.ATSS.FG_IOU_THRESHOLD,
+            bg_iou_threshold=cfg.MODEL.ATSS.BG_IOU_THRESHOLD,
+            reg_loss_weight=cfg.MODEL.ATSS.REG_LOSS_WEIGHT,
+            positive_type=positive_type,
+            use_iou_pred=False,
+        )
+        out = atss_loss(
+            outputs, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+            jnp.asarray(self.anchors_flat), self.level_counts, lc)
+
+        # our per-anchor labels via the same assign functions
+        from paa_tpu.modeling import atss_loss as mod
+
+        if positive_type == "ATSS":
+            labels, _ = mod.atss_assign(
+                jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                jnp.asarray(self.anchors_flat), self.level_counts, lc.topk)
+        elif positive_type == "SSC":
+            labels, _ = mod.ssc_assign(
+                jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                jnp.asarray(self.anchors_flat), self.level_counts)
+        else:
+            labels, _ = mod.iou_assign(
+                jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                jnp.asarray(self.anchors_flat),
+                lc.fg_iou_threshold, lc.bg_iou_threshold)
+        return ref_losses, ref_labels, out, np.asarray(labels)
+
+    def _assert_parity(self, ref_losses, ref_labels, out, our_labels,
+                       rtol=1e-4):
+        np.testing.assert_array_equal(our_labels, ref_labels)
+        np.testing.assert_allclose(
+            float(out["loss_cls"]), float(ref_losses[0]), rtol=rtol)
+        np.testing.assert_allclose(
+            float(out["loss_reg"]), float(ref_losses[1]), rtol=rtol)
+        np.testing.assert_allclose(
+            float(out["loss_centerness"]), float(ref_losses[2]), rtol=rtol)
+
+    def test_atss_mode(self):
+        self._assert_parity(*self._run_case(10, "ATSS"))
+
+    def test_atss_mode_seed2(self):
+        self._assert_parity(*self._run_case(11, "ATSS", max_gt=7))
+
+    def test_ssc_mode(self):
+        self._assert_parity(*self._run_case(12, "SSC"))
+
+    def test_iou_mode(self):
+        self._assert_parity(*self._run_case(13, "IoU"))
+
+
+@unittest.skipUnless(
+    ref_torch.reference_available(), "reference checkout not present"
+)
+class TestFCOSLossParity(unittest.TestCase):
+    """Our fcos_loss vs the reference FCOSLossComputation
+    (fcos/loss.py:35-280), with and without center sampling."""
+
+    NUM_CLASSES = 8
+
+    @classmethod
+    def setUpClass(cls):
+        import torch
+
+        cls.torch = torch
+        ref_torch.install_shims()
+        from paa_core.config import cfg as ref_cfg
+
+        if ref_cfg.is_frozen():
+            ref_cfg.defrost()
+        cls.ref_cfg = ref_cfg
+        cls.locations_np = make_locations(SHAPES, STRIDES)
+        cls.level_counts = tuple(len(p) for p in cls.locations_np)
+
+    def _run_case(self, seed, center_radius=0.0, iou_loss_type="iou",
+                  norm_reg_targets=False, batch=2, max_gt=4):
+        torch = self.torch
+        cfg = self.ref_cfg
+        if cfg.is_frozen():
+            cfg.defrost()
+        cfg.MODEL.FCOS.CENTER_SAMPLING_RADIUS = center_radius
+        cfg.MODEL.FCOS.IOU_LOSS_TYPE = iou_loss_type
+        cfg.MODEL.FCOS.NORM_REG_TARGETS = norm_reg_targets
+        rng = np.random.RandomState(seed)
+
+        box_cls_t, box_reg_t, ctr_t = [], [], []
+        for (h, w) in SHAPES:
+            box_cls_t.append(torch.as_tensor(
+                rng.normal(-2.0, 1.0, (batch, self.NUM_CLASSES, h, w))
+                .astype(np.float32)))
+            # positive l/t/r/b predictions (post relu/exp in the real head)
+            box_reg_t.append(torch.as_tensor(
+                rng.uniform(1.0, 64.0, (batch, 4, h, w)).astype(np.float32)))
+            ctr_t.append(torch.as_tensor(
+                rng.normal(0.0, 1.0, (batch, 1, h, w)).astype(np.float32)))
+
+        gt_boxes_np, gt_labels_np, _ = make_gts(
+            rng, batch, max_gt, include_tiny=False)
+        targets, _ = make_ref_boxlists(
+            gt_boxes_np, gt_labels_np, [], IMG_W, IMG_H)
+        locations_t = [torch.as_tensor(p) for p in self.locations_np]
+
+        from paa_core.modeling.rpn.fcos.loss import make_fcos_loss_evaluator
+
+        evaluator = make_fcos_loss_evaluator(cfg)
+        _shim_focal(evaluator, cfg.MODEL.FCOS.LOSS_GAMMA,
+                    cfg.MODEL.FCOS.LOSS_ALPHA)
+        captured = {}
+        orig = evaluator.prepare_targets
+
+        def capture(points, tg):
+            labels_lf, reg_lf = orig(points, tg)
+            captured["labels_lf"] = [l.clone() for l in labels_lf]
+            return labels_lf, reg_lf
+
+        evaluator.prepare_targets = capture
+        with torch.no_grad():
+            ref_losses = evaluator(
+                locations_t, box_cls_t, box_reg_t, ctr_t, targets)
+
+        # level-first (B*n_l,) per level -> (B, N) anchor-order labels
+        ref_labels = np.zeros(
+            (batch, sum(self.level_counts)), dtype=np.int64)
+        start = 0
+        for l, n_l in enumerate(self.level_counts):
+            lf = captured["labels_lf"][l].numpy()  # (B*n_l,)
+            for b in range(batch):
+                ref_labels[b, start:start + n_l] = lf[b * n_l:(b + 1) * n_l]
+            start += n_l
+
+        # ---- ours ------------------------------------------------------
+        from paa_tpu.modeling.fcos_loss import (
+            FCOSLossConfig, fcos_assign, fcos_loss)
+
+        def flatten(ts, c):
+            return np.concatenate(
+                [ref_torch.permute_and_flatten(t, 1, c) for t in ts], axis=1)
+
+        outputs = {
+            "cls_logits": jnp.asarray(flatten(box_cls_t, self.NUM_CLASSES)),
+            "box_regression": jnp.asarray(flatten(box_reg_t, 4)),
+            "iou_pred": jnp.asarray(flatten(ctr_t, 1)[..., 0]),
+        }
+        gt_boxes, gt_labels = pad_gts(gt_boxes_np, gt_labels_np, batch)
+        lc = FCOSLossConfig(
+            gamma=cfg.MODEL.FCOS.LOSS_GAMMA,
+            alpha=cfg.MODEL.FCOS.LOSS_ALPHA,
+            strides=STRIDES,
+            center_sampling_radius=center_radius,
+            iou_loss_type=iou_loss_type,
+            norm_reg_targets=norm_reg_targets,
+        )
+        loc_flat = np.concatenate(self.locations_np, axis=0)
+        loc_xyxy = np.concatenate([loc_flat, loc_flat], axis=1)
+        out = fcos_loss(
+            outputs, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+            jnp.asarray(loc_xyxy), self.level_counts, lc)
+        labels, _ = fcos_assign(
+            jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+            jnp.asarray(loc_flat), self.level_counts, lc)
+        return ref_losses, ref_labels, out, np.asarray(labels)
+
+    def _assert_parity(self, ref_losses, ref_labels, out, our_labels,
+                       rtol=1e-4):
+        np.testing.assert_array_equal(our_labels, ref_labels)
+        np.testing.assert_allclose(
+            float(out["loss_cls"]), float(ref_losses[0]), rtol=rtol)
+        np.testing.assert_allclose(
+            float(out["loss_reg"]), float(ref_losses[1]), rtol=rtol)
+        np.testing.assert_allclose(
+            float(out["loss_centerness"]), float(ref_losses[2]), rtol=rtol)
+
+    def test_plain(self):
+        self._assert_parity(*self._run_case(20))
+
+    def test_center_sampling(self):
+        self._assert_parity(*self._run_case(21, center_radius=1.5))
+
+    def test_giou_norm_targets(self):
+        self._assert_parity(*self._run_case(
+            22, iou_loss_type="giou", norm_reg_targets=True))
+
+    def test_linear_iou(self):
+        self._assert_parity(*self._run_case(23, iou_loss_type="linear_iou"))
+
+
+@unittest.skipUnless(
+    ref_torch.reference_available(), "reference checkout not present"
+)
+class TestRetinaNetLossParity(unittest.TestCase):
+    """Our retinanet_loss vs RetinaNetLossComputation
+    (retinanet/loss.py:19-81)."""
+
+    NUM_CLASSES = 8
+
+    @classmethod
+    def setUpClass(cls):
+        import torch
+
+        cls.torch = torch
+        ref_torch.install_shims()
+        from paa_core.config import cfg as ref_cfg
+
+        if ref_cfg.is_frozen():
+            ref_cfg.defrost()
+        cls.ref_cfg = ref_cfg
+        cls.anchors_np = make_anchors(SHAPES, STRIDES)
+        cls.anchors_flat = np.concatenate(cls.anchors_np, axis=0)
+        cls.level_counts = tuple(len(a) for a in cls.anchors_np)
+
+    def _run_case(self, seed, batch=2, max_gt=4):
+        torch = self.torch
+        cfg = self.ref_cfg
+        rng = np.random.RandomState(seed)
+
+        box_cls_t, box_reg_t = [], []
+        for (h, w) in SHAPES:
+            box_cls_t.append(torch.as_tensor(
+                rng.normal(-2.0, 1.0, (batch, self.NUM_CLASSES, h, w))
+                .astype(np.float32)))
+            box_reg_t.append(torch.as_tensor(
+                rng.normal(0.0, 0.5, (batch, 4, h, w)).astype(np.float32)))
+
+        gt_boxes_np, gt_labels_np, _ = make_gts(rng, batch, max_gt)
+        targets, anchors_ref = make_ref_boxlists(
+            gt_boxes_np, gt_labels_np, self.anchors_np, IMG_W, IMG_H)
+
+        from paa_core.modeling.rpn.retinanet.loss import (
+            make_retinanet_loss_evaluator)
+        from paa_core.modeling.box_coder import BoxCoder
+
+        evaluator = make_retinanet_loss_evaluator(
+            cfg, BoxCoder(weights=(10., 10., 5., 5.)))
+        evaluator.box_cls_loss_func.gamma = [
+            cfg.MODEL.RETINANET.LOSS_GAMMA]
+        evaluator.box_cls_loss_func.alpha = [
+            cfg.MODEL.RETINANET.LOSS_ALPHA]
+        captured = {}
+        orig = evaluator.prepare_targets
+
+        def capture(*a, **k):
+            labels, reg_targets = orig(*a, **k)
+            captured["labels"] = [l.clone() for l in labels]
+            return labels, reg_targets
+
+        evaluator.prepare_targets = capture
+        with torch.no_grad():
+            ref_losses = evaluator(
+                anchors_ref, box_cls_t, box_reg_t, targets)
+        ref_labels = np.stack(
+            [l.numpy() for l in captured["labels"]], axis=0)
+
+        from paa_tpu.modeling.retinanet_head import (
+            RetinaNetLossConfig, retinanet_loss)
+
+        def flatten(ts, c):
+            return np.concatenate(
+                [ref_torch.permute_and_flatten(t, 1, c) for t in ts], axis=1)
+
+        outputs = {
+            "cls_logits": jnp.asarray(flatten(box_cls_t, self.NUM_CLASSES)),
+            "box_regression": jnp.asarray(flatten(box_reg_t, 4)),
+        }
+        gt_boxes, gt_labels = pad_gts(gt_boxes_np, gt_labels_np, batch)
+        lc = RetinaNetLossConfig(
+            gamma=cfg.MODEL.RETINANET.LOSS_GAMMA,
+            alpha=cfg.MODEL.RETINANET.LOSS_ALPHA,
+            fg_iou_threshold=cfg.MODEL.RETINANET.FG_IOU_THRESHOLD,
+            bg_iou_threshold=cfg.MODEL.RETINANET.BG_IOU_THRESHOLD,
+            bbox_reg_beta=cfg.MODEL.RETINANET.BBOX_REG_BETA,
+            bbox_reg_weight=cfg.MODEL.RETINANET.BBOX_REG_WEIGHT,
+        )
+        out = retinanet_loss(
+            outputs, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+            jnp.asarray(self.anchors_flat), self.level_counts, lc)
+
+        from paa_tpu.modeling.atss_loss import iou_assign
+
+        labels, _ = iou_assign(
+            jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+            jnp.asarray(self.anchors_flat),
+            lc.fg_iou_threshold, lc.bg_iou_threshold)
+        return ref_losses, ref_labels, out, np.asarray(labels)
+
+    def test_seed0(self):
+        ref_losses, ref_labels, out, _ = self._run_case(30)
+        np.testing.assert_allclose(
+            float(out["loss_retina_cls"]), float(ref_losses[0]), rtol=1e-4)
+        np.testing.assert_allclose(
+            float(out["loss_retina_reg"]), float(ref_losses[1]), rtol=1e-4)
+
+    def test_seed1_labels(self):
+        """Label parity modulo the centers-in-gt refinement: retinanet's
+        matcher labels (before ATSS's in_gt filter) must agree where our
+        iou_assign does not ignore."""
+        ref_losses, ref_labels, out, our_labels = self._run_case(31)
+        # iou_assign applies the ATSS 'IoU'-mode in_gt ignore; RetinaNet
+        # keeps those as positives. Compare the underlying matcher result:
+        # everywhere our label is not -1-due-to-in_gt they must be equal.
+        mask = ~((our_labels == -1) & (ref_labels > 0))
+        np.testing.assert_array_equal(
+            np.where(mask, our_labels, 0), np.where(mask, ref_labels, 0))
+        np.testing.assert_allclose(
+            float(out["loss_retina_cls"]), float(ref_losses[0]), rtol=1e-4)
+        np.testing.assert_allclose(
+            float(out["loss_retina_reg"]), float(ref_losses[1]), rtol=1e-4)
+
+
+@unittest.skipUnless(
+    ref_torch.reference_available(), "reference checkout not present"
+)
+class TestRPNLossParity(unittest.TestCase):
+    """Our rpn_loss vs RPNLossComputation (rpn/loss.py:22-131), with the
+    sampler forced to take every non-ignored anchor (batch size >= #anchors,
+    fraction 1.0) so the random subsample is the identity on both sides and
+    the losses are deterministic. Covers the visibility discard."""
+
+    @classmethod
+    def setUpClass(cls):
+        import torch
+
+        cls.torch = torch
+        ref_torch.install_shims()
+        from paa_core.config import cfg as ref_cfg
+
+        if ref_cfg.is_frozen():
+            ref_cfg.defrost()
+        cls.ref_cfg = ref_cfg
+        cls.anchors_np = make_anchors(SHAPES, STRIDES)
+        cls.anchors_flat = np.concatenate(cls.anchors_np, axis=0)
+        cls.level_counts = tuple(len(a) for a in cls.anchors_np)
+
+    def _run_case(self, seed, batch=2, max_gt=4):
+        torch = self.torch
+        cfg = self.ref_cfg
+        if cfg.is_frozen():
+            cfg.defrost()
+        n_anchors = len(self.anchors_flat)
+        cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = n_anchors
+        cfg.MODEL.RPN.POSITIVE_FRACTION = 1.0
+        rng = np.random.RandomState(seed)
+
+        obj_t, box_reg_t = [], []
+        for (h, w) in SHAPES:
+            obj_t.append(torch.as_tensor(
+                rng.normal(0.0, 1.0, (batch, 1, h, w)).astype(np.float32)))
+            box_reg_t.append(torch.as_tensor(
+                rng.normal(0.0, 0.5, (batch, 4, h, w)).astype(np.float32)))
+
+        gt_boxes_np, gt_labels_np, _ = make_gts(rng, batch, max_gt)
+        targets, anchors_ref = make_ref_boxlists(
+            gt_boxes_np, gt_labels_np, self.anchors_np, IMG_W, IMG_H,
+            with_visibility=True, straddle=0.0)
+
+        from paa_core.modeling.rpn.loss import make_rpn_loss_evaluator
+        from paa_core.modeling.box_coder import BoxCoder
+
+        evaluator = make_rpn_loss_evaluator(
+            cfg, BoxCoder(weights=(1.0, 1.0, 1.0, 1.0)))
+        with torch.no_grad():
+            ref_obj, ref_reg = evaluator(
+                anchors_ref, obj_t, box_reg_t, targets)
+
+        from paa_tpu.modeling.rpn import RPNConfig, rpn_loss
+        import jax
+
+        def flatten(ts, c):
+            return np.concatenate(
+                [ref_torch.permute_and_flatten(t, 1, c) for t in ts], axis=1)
+
+        outputs = {
+            "objectness": jnp.asarray(flatten(obj_t, 1)[..., 0]),
+            "box_regression": jnp.asarray(flatten(box_reg_t, 4)),
+        }
+        gt_boxes, gt_labels = pad_gts(gt_boxes_np, gt_labels_np, batch)
+        rc = RPNConfig(
+            fg_iou_threshold=cfg.MODEL.RPN.FG_IOU_THRESHOLD,
+            bg_iou_threshold=cfg.MODEL.RPN.BG_IOU_THRESHOLD,
+            batch_size_per_image=n_anchors,
+            positive_fraction=1.0,
+            straddle_thresh=0.0,
+        )
+        sizes = jnp.asarray(
+            [[float(IMG_H), float(IMG_W)]] * batch, jnp.float32)
+        out = rpn_loss(
+            outputs, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+            jnp.asarray(self.anchors_flat), self.level_counts, rc,
+            jax.random.PRNGKey(0), image_sizes=sizes)
+        return (float(ref_obj), float(ref_reg)), out
+
+    def test_seed0(self):
+        (ref_obj, ref_reg), out = self._run_case(40)
+        np.testing.assert_allclose(
+            float(out["loss_objectness"]), ref_obj, rtol=1e-4)
+        np.testing.assert_allclose(
+            float(out["loss_rpn_box_reg"]), ref_reg, rtol=1e-4)
+
+    def test_seed1(self):
+        (ref_obj, ref_reg), out = self._run_case(41, max_gt=6)
+        np.testing.assert_allclose(
+            float(out["loss_objectness"]), ref_obj, rtol=1e-4)
+        np.testing.assert_allclose(
+            float(out["loss_rpn_box_reg"]), ref_reg, rtol=1e-4)
+
+
+@unittest.skipUnless(
+    ref_torch.reference_available(), "reference checkout not present"
+)
+class TestROIBoxLossParity(unittest.TestCase):
+    """Our subsample_proposals + roi_box_loss vs FastRCNNLossComputation
+    (box_head/loss.py:15-165). Head outputs are linear functions of the
+    proposal coordinates so the (order-differing) sampled sets produce
+    identical per-roi predictions on both sides; the sampler is again
+    forced to keep everything."""
+
+    NUM_CLASSES = 9  # 8 fg + background
+
+    def _run_case(self, seed, n_proposals=64, max_gt=4):
+        import torch
+
+        ref_torch.install_shims()
+        from paa_core.config import cfg as ref_cfg
+
+        if ref_cfg.is_frozen():
+            ref_cfg.defrost()
+        S = 128
+        ref_cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = S
+        ref_cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION = 1.0
+        rng = np.random.RandomState(seed)
+
+        gt_boxes_np, gt_labels_np, _ = make_gts(
+            rng, 1, max_gt, include_tiny=False)
+        props = np.stack([
+            rng.uniform(0, IMG_W * 0.8, n_proposals),
+            rng.uniform(0, IMG_H * 0.8, n_proposals),
+            rng.uniform(8, IMG_W * 0.5, n_proposals),
+            rng.uniform(8, IMG_H * 0.5, n_proposals),
+        ], axis=1).astype(np.float32)
+        props[:, 2] = np.minimum(props[:, 0] + props[:, 2], IMG_W - 1)
+        props[:, 3] = np.minimum(props[:, 1] + props[:, 3], IMG_H - 1)
+        # mirror rpn/inference.py add_gt_proposals: GTs are appended
+        props_with_gt = np.concatenate([props, gt_boxes_np[0]], axis=0)
+
+        w_cls = rng.normal(0, 0.02, (4, self.NUM_CLASSES)).astype(np.float32)
+        w_reg = rng.normal(0, 0.02, (4, 4 * self.NUM_CLASSES)).astype(
+            np.float32)
+
+        # ---- reference -------------------------------------------------
+        from paa_core.structures.bounding_box import BoxList
+        from paa_core.modeling.roi_heads.box_head.loss import (
+            make_roi_box_loss_evaluator)
+
+        targets, _ = make_ref_boxlists(
+            gt_boxes_np, gt_labels_np, [], IMG_W, IMG_H)
+        proposal_bl = BoxList(
+            torch.as_tensor(props_with_gt), (IMG_W, IMG_H), mode="xyxy")
+        evaluator = make_roi_box_loss_evaluator(ref_cfg)
+        with torch.no_grad():
+            sampled = evaluator.subsample([proposal_bl], targets)
+            rois = sampled[0].bbox  # (S_ref, 4)
+            class_logits = rois @ torch.as_tensor(w_cls)
+            box_regression = rois @ torch.as_tensor(w_reg)
+            ref_cls, ref_reg = evaluator(
+                [class_logits], [box_regression])
+
+        # ---- ours ------------------------------------------------------
+        import jax
+        from paa_tpu.modeling.roi_box_head import (
+            ROIBoxConfig, roi_box_loss, subsample_proposals)
+
+        bc = ROIBoxConfig(
+            num_classes=self.NUM_CLASSES,
+            fg_iou_threshold=ref_cfg.MODEL.ROI_HEADS.FG_IOU_THRESHOLD,
+            bg_iou_threshold=ref_cfg.MODEL.ROI_HEADS.BG_IOU_THRESHOLD,
+            batch_size_per_image=S,
+            positive_fraction=1.0,
+        )
+        gt_boxes, gt_labels = pad_gts(gt_boxes_np, gt_labels_np, 1)
+        (rois_j, roi_labels, reg_targets, roi_valid, _roi_gt_idx,
+         _roi_gt_boxes) = subsample_proposals(
+            jnp.asarray(props),  # gts appended inside
+            jnp.ones((len(props),), bool),
+            jnp.asarray(gt_boxes[0]), jnp.asarray(gt_labels[0]),
+            bc, jax.random.PRNGKey(0))
+        cls_logits = rois_j @ jnp.asarray(w_cls)
+        box_deltas = (rois_j @ jnp.asarray(w_reg)).reshape(
+            -1, self.NUM_CLASSES, 4)
+        out = roi_box_loss(
+            cls_logits, box_deltas, roi_labels, reg_targets, roi_valid)
+
+        # same sampled multiset of rois?
+        ours_set = sorted(
+            map(tuple, np.round(np.asarray(rois_j)[np.asarray(roi_valid)],
+                                3).tolist()))
+        ref_set = sorted(map(tuple, np.round(rois.numpy(), 3).tolist()))
+        self.assertEqual(ours_set, ref_set)
+        return (float(ref_cls), float(ref_reg)), out
+
+    def test_seed0(self):
+        (ref_cls, ref_reg), out = self._run_case(50)
+        np.testing.assert_allclose(
+            float(out["loss_classifier"]), ref_cls, rtol=1e-4)
+        np.testing.assert_allclose(
+            float(out["loss_box_reg"]), ref_reg, rtol=1e-4)
+
+    def test_seed1(self):
+        (ref_cls, ref_reg), out = self._run_case(51, n_proposals=96,
+                                                 max_gt=6)
+        np.testing.assert_allclose(
+            float(out["loss_classifier"]), ref_cls, rtol=1e-4)
+        np.testing.assert_allclose(
+            float(out["loss_box_reg"]), ref_reg, rtol=1e-4)
 
 
 if __name__ == "__main__":
