@@ -33,7 +33,14 @@ def _state_tree(state):
 
 
 def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
-             start_iter=0, logger=None):
+             start_iter=0, logger=None, metric_hook=None):
+    """Run the training loop.
+
+    metric_hook: optional ``hook(iteration, metrics_dict)`` invoked with
+        the one-step-lagged host floats each iteration (tests and the
+        overfit gate read loss curves through this without forcing
+        device syncs).
+    """
     logger = logger or logging.getLogger("paa_tpu.trainer")
     logger.info("Start training")
     meters = MetricLogger()
@@ -116,9 +123,19 @@ def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
         end = time.time()
         meters.update(time=batch_time, data=data_time)
         if prev_metrics is not None:
-            meters.update(
-                **{k: float(v) for k, v in prev_metrics.items()}
-            )
+            host_metrics = {k: float(v) for k, v in prev_metrics.items()}
+            meters.update(**host_metrics)
+            # per-step numeric guard (reference asserts non-NaN inside
+            # the loss every step, rpn/paa/loss.py:307) — on the lagged
+            # host copy, so it costs no extra device sync
+            loss_val = host_metrics.get("loss")
+            if loss_val is not None and not np.isfinite(loss_val):
+                raise FloatingPointError(
+                    f"non-finite training loss {loss_val} at iteration "
+                    f"{iteration - 1}: {host_metrics}"
+                )
+            if metric_hook is not None:
+                metric_hook(iteration - 1, host_metrics)
         prev_metrics = metrics
 
         if iteration % 20 == 0 or iteration == max_iter:

@@ -27,6 +27,10 @@ class ATSSHead(nn.Module):
     use_dcn_in_tower: bool = False
     prior_prob: float = 0.01
     regression_type: str = "BOX"
+    # centerness/IoU branch: off only in the pure-RetinaNet ablation
+    # (atss/ret_R_50_FPN_1.5x.yaml sets USE_CENTERNESS_PRED and
+    # USE_IOU_PRED both False)
+    use_branch: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -59,10 +63,14 @@ class ATSSHead(nn.Module):
             kernel_init=head_normal_init, bias_init=bbox_bias,
             dtype=self.dtype, name="bbox_pred",
         )
-        centerness = conv(
-            self.num_anchors, 3, padding=1, use_bias=True,
-            kernel_init=head_normal_init, dtype=self.dtype,
-            name="centerness",
+        centerness = (
+            conv(
+                self.num_anchors, 3, padding=1, use_bias=True,
+                kernel_init=head_normal_init, dtype=self.dtype,
+                name="centerness",
+            )
+            if self.use_branch
+            else None
         )
         scales = [
             Scale(1.0, name=f"scale{l}") for l in range(self.num_levels)
@@ -80,14 +88,17 @@ class ATSSHead(nn.Module):
             if self.regression_type == "POINT":
                 reg = nn.relu(reg)
             bbox_reg.append(reg.reshape(b, -1, 4))
-            ctr.append(centerness(bt).reshape(b, -1))
-        return {
+            if centerness is not None:
+                ctr.append(centerness(bt).reshape(b, -1))
+        out = {
             "cls_logits": jnp.concatenate(logits, axis=1),
             "box_regression": jnp.concatenate(bbox_reg, axis=1),
+        }
+        if centerness is not None:
             # the postprocessor fuses sqrt(cls * sigmoid(branch)) — the
             # same formula as PAA's iou_pred branch, so it shares the key
-            "iou_pred": jnp.concatenate(ctr, axis=1),
-        }
+            out["iou_pred"] = jnp.concatenate(ctr, axis=1)
+        return out
 
 
 def atss_head_from_cfg(cfg, dtype=jnp.float32):
@@ -105,5 +116,9 @@ def atss_head_from_cfg(cfg, dtype=jnp.float32):
         use_dcn_in_tower=cfg.MODEL.ATSS.USE_DCN_IN_TOWER,
         prior_prob=cfg.MODEL.ATSS.PRIOR_PROB,
         regression_type=cfg.MODEL.ATSS.REGRESSION_TYPE,
+        use_branch=(
+            cfg.MODEL.ATSS.USE_CENTERNESS_PRED
+            or cfg.MODEL.ATSS.USE_IOU_PRED
+        ),
         dtype=dtype,
     )

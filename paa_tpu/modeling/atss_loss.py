@@ -246,7 +246,11 @@ def atss_loss(outputs, gt_boxes, gt_labels, anchors, level_counts, lc,
               num_shards=1):
     cls_logits = outputs["cls_logits"].astype(jnp.float32)
     box_regression = outputs["box_regression"].astype(jnp.float32)
-    centerness = outputs["iou_pred"].astype(jnp.float32)
+    # absent in the pure-RetinaNet ablation (USE_CENTERNESS_PRED and
+    # USE_IOU_PRED both False, atss/ret_R_50_FPN_1.5x.yaml)
+    centerness = outputs.get("iou_pred")
+    if centerness is not None:
+        centerness = centerness.astype(jnp.float32)
     anchors = jnp.asarray(anchors, jnp.float32)
     gt_boxes = gt_boxes.astype(jnp.float32)
 
@@ -280,6 +284,17 @@ def atss_loss(outputs, gt_boxes, gt_labels, anchors, level_counts, lc,
         cls_logits, labels, lc.gamma, lc.alpha
     ).sum() / num_pos_norm
 
+    if centerness is None:
+        # no branch at all: unweighted GIoU normalized by num_pos —
+        # RetinaNet-with-GIoU semantics, the stated intent of the
+        # ablation config
+        reg = giou_loss(box_regression, reg_targets, anchors[None])
+        reg_loss = (reg * posf).sum() / num_pos_norm * lc.reg_loss_weight
+        return {
+            "loss_cls": cls_loss,
+            "loss_reg": reg_loss,
+            "num_pos": num_pos,
+        }
     if lc.use_iou_pred:
         # RetinaNet/ATSS + IoU prediction ablation (the reference ships
         # atss/ret_iou_R_50_FPN_1.5x.yaml setting MODEL.ATSS.USE_IOU_PRED,

@@ -36,12 +36,16 @@ _SCORE_VOTING_SIGMA = 0.025  # reference inference.py:128
 _IOU_VOTE_MIN = 0.01  # reference inference.py:141
 
 
-def _logit(th, dtype):
-    """sigmoid(x) > th  <=>  x > logit(th), evaluated in the logits'
-    own dtype so the candidate mask never needs the f32 sigmoid."""
+def _logit(th):
+    """sigmoid(x) > th  <=>  x.astype(f32) > logit(th): the compare
+    runs on f32-upcast logits against an f32 threshold (no full-tensor
+    f32 sigmoid — the convert fuses into the compare). Comparing in raw
+    bf16 would round logit(0.05)=-2.9444 to -2.9375 and drop borderline
+    candidates with score in (0.0500, 0.0503] relative to the
+    reference's f32 sigmoid comparison (advisor r2 finding)."""
     import math
 
-    return jnp.asarray(math.log(th) - math.log1p(-th), dtype)
+    return jnp.float32(math.log(th) - math.log1p(-th))
 
 
 @dataclass(frozen=True)
@@ -79,10 +83,10 @@ def _select_level(cls_logits, box_regression, iou_pred, anchors, pp,
     """
     n, c = cls_logits.shape
     cls_prob = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    # threshold on RAW cls scores, compared in logit space on the raw
-    # dtype (sigmoid is monotone; saves materializing a f32 sigmoid of
-    # the full logits just for the mask — same rule as the batched path)
-    cand = cls_logits > _logit(pp.pre_nms_thresh, cls_logits.dtype)
+    # threshold on RAW cls scores, compared in f32 logit space (sigmoid
+    # is monotone; the upcast fuses into the compare — same rule as the
+    # batched path)
+    cand = cls_logits.astype(jnp.float32) > _logit(pp.pre_nms_thresh)
     if iou_pred is not None:
         iou_prob = jax.nn.sigmoid(iou_pred.astype(jnp.float32))
         fused = jnp.sqrt(cls_prob * iou_prob[:, None])
@@ -199,10 +203,10 @@ def _select_level_batched(cls_logits, box_regression, iou_pred, anchors,
     m_flat = n * c
     k = min(pp.pre_nms_top_n, m_flat)
     decode = decode_fn or decode_box
-    # candidate mask straight off the raw-dtype logits (logit-space
-    # threshold) — no f32 sigmoid over the full (B, N*C) tensor
+    # candidate mask off the f32-upcast logits (logit-space threshold)
+    # — no f32 sigmoid over the full (B, N*C) tensor
     cand = (
-        cls_logits > _logit(pp.pre_nms_thresh, cls_logits.dtype)
+        cls_logits.astype(jnp.float32) > _logit(pp.pre_nms_thresh)
     ).reshape(bsz, m_flat)
 
     # two-level candidate indexing: per-block counts + tiny prefix; the

@@ -341,7 +341,14 @@ class Res5ROIBoxHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, features, proposals, proposal_batch_idx):
+    def __call__(self, features, proposals, proposal_batch_idx,
+                 return_features=False):
+        """return_features: also return the (R, 7, 7, 2048) res5 ROI
+        features — the C4 Mask R-CNN's shared extractor output
+        (reference roi_heads.py:19 assigns the BOX head's
+        ResNet50Conv5ROIFeatureExtractor to the mask head, so mask
+        features come from the SAME weights; FasterRCNN.mask calls this
+        with the flag to reproduce that sharing)."""
         from ..ops.roi_align import roi_align
         from .resnet import Bottleneck
 
@@ -360,6 +367,7 @@ class Res5ROIBoxHead(nn.Module):
                 dtype=self.dtype,
                 name=f"layer4_{b}",
             )(x)
+        res5 = x
         x = x.astype(jnp.float32).mean(axis=(1, 2))
         r = x.shape[0]
         cls_logits = nn.Dense(
@@ -372,4 +380,7 @@ class Res5ROIBoxHead(nn.Module):
             kernel_init=nn.initializers.normal(0.001),
             name="bbox_pred",
         )(x)
-        return cls_logits, box_deltas.reshape(r, self.num_classes, 4)
+        deltas = box_deltas.reshape(r, self.num_classes, 4)
+        if return_features:
+            return cls_logits, deltas, res5
+        return cls_logits, deltas

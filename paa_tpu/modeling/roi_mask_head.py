@@ -81,6 +81,42 @@ class MaskHead(nn.Module):
         return logits  # (R, 28, 28, C-1) (14x14 without the deconv)
 
 
+class MaskRCNNC4Predictor(nn.Module):
+    """The C4 mask predictor alone (roi_mask_predictors.py:10-31):
+    ConvTranspose 2x2/2 to dim_reduced + ReLU + 1x1 conv to per-class
+    mask logits, applied to the SHARED res5 ROI features produced by the
+    box head's extractor (reference roi_heads.py:19 aliases the mask
+    feature extractor to the box head's
+    ResNet50Conv5ROIFeatureExtractor; FasterRCNN.mask reproduces the
+    sharing by calling Res5ROIBoxHead with return_features=True).
+
+    Channel convention: C-1 foreground classes (the reference emits
+    NUM_CLASSES channels but its loss/inference index channels by label
+    and never touch channel 0 — functionally identical; documented in
+    PARITY.md)."""
+
+    num_classes: int  # WITHOUT background
+    dim_reduced: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # Caffe2 MSRAFill == kaiming_normal fan_out
+        # (roi_mask_predictors.py:22-27)
+        kaiming_out = nn.initializers.variance_scaling(
+            2.0, "fan_out", "normal")
+        x = nn.ConvTranspose(
+            self.dim_reduced, (2, 2), strides=(2, 2),
+            kernel_init=kaiming_out, dtype=self.dtype, name="conv5_mask",
+        )(x)
+        x = nn.relu(x)
+        return conv(
+            self.num_classes, 1, use_bias=True,
+            kernel_init=kaiming_out, dtype=self.dtype,
+            name="mask_fcn_logits",
+        )(x)  # (R, 14, 14, C-1)
+
+
 def crop_gt_masks_for_rois(gt_masks, matched_gt_boxes, rois,
                            out_size=28):
     """On-device mask targets: bilinear-crop each roi's window out of the

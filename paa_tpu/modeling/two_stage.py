@@ -45,6 +45,11 @@ class FasterRCNN(nn.Module):
     box_head: nn.Module
     mask_head: nn.Module = None
     keypoint_head: nn.Module = None
+    # C4 Mask R-CNN: the mask branch consumes the BOX head's res5 ROI
+    # features (reference roi_heads.py:19 shares the
+    # ResNet50Conv5ROIFeatureExtractor); mask_head is then the
+    # predictor-only MaskRCNNC4Predictor
+    share_mask_extractor: bool = False
 
     def backbone_rpn(self, images):
         features = self.backbone(images)
@@ -56,6 +61,12 @@ class FasterRCNN(nn.Module):
         return self.box_head(list(features)[:4], rois, roi_batch_idx)
 
     def mask(self, features, rois, roi_batch_idx):
+        if self.share_mask_extractor:
+            _, _, res5 = self.box_head(
+                list(features)[:4], rois, roi_batch_idx,
+                return_features=True,
+            )
+            return self.mask_head(res5)
         return self.mask_head(list(features)[:4], rois, roi_batch_idx)
 
     def keypoint(self, features, rois, roi_batch_idx):
@@ -371,6 +382,7 @@ def _build_single_level_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
         "the keypoint branch is implemented for the FPN two-stage path"
     )
     mask_head = None
+    share_mask = False
     if cfg.MODEL.MASK_ON:
         if body == "FBNet":
             from .fbnet import FBNetMaskHead
@@ -389,10 +401,21 @@ def _build_single_level_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
                 ),
                 dtype=dtype,
             )
+        elif cfg.MODEL.ROI_MASK_HEAD.SHARE_BOX_FEATURE_EXTRACTOR:
+            # C4 mask, reference default: the box head's res5 extractor
+            # IS the mask feature extractor (weights shared); the mask
+            # head is the deconv predictor alone
+            from .roi_mask_head import MaskRCNNC4Predictor
+
+            share_mask = True
+            mask_head = MaskRCNNC4Predictor(
+                num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES - 1,
+                dim_reduced=cfg.MODEL.ROI_MASK_HEAD.CONV_LAYERS[-1],
+                dtype=dtype,
+            )
         else:
-            # C4 mask: conv-stack head on the single stride-16 map (a
-            # deliberate redesign of the shared-res5 extractor: the
-            # functional train/eval split keeps heads independent)
+            # unshared variant: independent conv-stack head on the
+            # single stride-16 map
             from .roi_mask_head import MaskHead
 
             mask_head = MaskHead(
@@ -403,6 +426,7 @@ def _build_single_level_rcnn(cfg, dtype=jnp.float32) -> TwoStageModel:
     module = FasterRCNN(
         backbone=backbone, rpn_head=rpn_head, box_head=box_head,
         mask_head=mask_head,
+        share_mask_extractor=share_mask,
     )
     return TwoStageModel(
         cfg=cfg, module=module, anchor_generator=anchor_gen,

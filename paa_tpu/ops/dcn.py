@@ -29,38 +29,23 @@ from ..modeling.layers import conv as regular_conv
 from ..modeling.layers import kaiming_uniform_a1
 
 
-def _bilinear_gather(x, ys, xs):
-    """Sample x (B, H, W, C) at float coords ys/xs (B, Ho, Wo) with
-    zero padding outside. Returns (B, Ho, Wo, C)."""
-    b, h, w, c = x.shape
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    wy1 = ys - y0
-    wx1 = xs - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-
-    def corner(yi, xi, wt):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        yc = jnp.clip(yi, 0, h - 1)
-        xc = jnp.clip(xi, 0, w - 1)
-        flat = yc * w + xc  # (B, Ho, Wo)
-        g = jax.vmap(lambda xf, i: xf[i])(
-            x.reshape(b, h * w, c), flat.reshape(b, -1)
-        ).reshape(*flat.shape, c)
-        return g * (wt * valid.astype(x.dtype))[..., None]
-
-    return (
-        corner(y0i, x0i, (1 - wy1) * (1 - wx1))
-        + corner(y0i, x0i + 1, (1 - wy1) * wx1)
-        + corner(y0i + 1, x0i, wy1 * (1 - wx1))
-        + corner(y0i + 1, x0i + 1, wy1 * wx1)
-    )
-
-
 def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
                   dilation=1, groups=1, deformable_groups=1):
     """Functional modulated deformable conv.
+
+    Sampling strategy ("quad gather"): the four bilinear corners of one
+    sample are a 2x2 pixel patch, so a patch tensor over the
+    zero-extended grid — q[y, x] = concat of x at (y-1..y, x-1..x) with
+    zeros outside — turns each sample into ONE row gather of 4C channels
+    instead of four C-channel gathers. One `take_along_axis` per
+    deformable group fetches all K*Ho*Wo samples; corner weights (with
+    the CUDA kernel's (-1, H)x(-1, W) center gate,
+    deform_conv_kernel_cuda.cu:236-245) and the v2 modulation mask fold
+    into a single per-sample 4-vector contraction before the MXU matmul.
+    Compared to per-corner gathers this cuts the HLO to one gather op
+    per dg (36x fewer — full dcnv2 backbones compile in minutes, not
+    hours) at equal-or-better runtime; XLA's TPU gather is the
+    bandwidth bound either way (see PERF.md).
 
     Args:
         x: (B, H, W, C)
@@ -77,32 +62,57 @@ def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
     wo = (w + 2 * p - d * (kw - 1) - 1) // s + 1
     dg = deformable_groups
     cg = c // dg
+    f32 = jnp.float32
 
-    base_y = jnp.arange(ho, dtype=x.dtype) * s - p
-    base_x = jnp.arange(wo, dtype=x.dtype) * s - p
-    grid_y = base_y[:, None]  # (Ho, 1)
-    grid_x = base_x[None, :]  # (1, Wo)
+    # sample coordinates (B, Ho, Wo, dg, K); coordinate math in f32 —
+    # bf16 positions lose whole pixels beyond ~256
+    base_y = (jnp.arange(ho, dtype=f32) * s - p)[:, None, None, None]
+    base_x = (jnp.arange(wo, dtype=f32) * s - p)[None, :, None, None]
+    ks = jnp.arange(k, dtype=f32)
+    ky = ((ks // kw) * d)[None, None, None, :]
+    kx = ((ks % kw) * d)[None, None, None, :]
+    offsets = offsets.astype(f32).reshape(b, ho, wo, dg, k, 2)
+    ys = base_y[None] + ky[None] + offsets[..., 0]
+    xs = base_x[None] + kx[None] + offsets[..., 1]
 
-    offsets = offsets.astype(x.dtype).reshape(b, ho, wo, dg, k, 2)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = ys - y0
+    wx = xs - x0
+    # the CUDA center gate: whole sample is zero unless the point lies
+    # strictly inside (-1, H) x (-1, W)
+    gate = ((ys > -1) & (ys < h) & (xs > -1) & (xs < w)).astype(f32)
+    y0i = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
+    x0i = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
+    flat = y0i * (w + 1) + x0i  # rows of the (H+1)*(W+1) patch grid
+
+    cw = jnp.stack(
+        [(1 - wy) * (1 - wx), (1 - wy) * wx, wy * (1 - wx), wy * wx],
+        axis=-1,
+    ) * gate[..., None]  # (B, Ho, Wo, dg, K, 4)
     if mask is not None:
-        mask = mask.astype(x.dtype).reshape(b, ho, wo, dg, k)
+        cw = cw * mask.astype(f32).reshape(b, ho, wo, dg, k)[..., None]
+    cw = cw.astype(x.dtype)
 
-    cols = []
-    for ki in range(k):
-        iy, ix = divmod(ki, kw)
-        samples_g = []
-        for g in range(dg):
-            ys = grid_y[None] + iy * d + offsets[..., g, ki, 0]
-            xs = grid_x[None] + ix * d + offsets[..., g, ki, 1]
-            sg = _bilinear_gather(
-                x[..., g * cg:(g + 1) * cg], ys, xs
-            )
-            if mask is not None:
-                sg = sg * mask[..., g, ki][..., None]
-            samples_g.append(sg)
-        cols.append(jnp.concatenate(samples_g, axis=-1))
-    # (B, Ho, Wo, K, C) -> contract with weights on the MXU
-    col = jnp.stack(cols, axis=3)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    col_groups = []
+    for g in range(dg):
+        xg = xp[..., g * cg:(g + 1) * cg]
+        q = jnp.concatenate(
+            [xg[:, :-1, :-1], xg[:, :-1, 1:],
+             xg[:, 1:, :-1], xg[:, 1:, 1:]],
+            axis=-1,
+        ).reshape(b, (h + 1) * (w + 1), 4 * cg)
+        fg = flat[..., g, :].reshape(b, -1)  # (B, Ho*Wo*K)
+        gq = jnp.take_along_axis(q, fg[:, :, None], axis=1)
+        gq = gq.reshape(b, ho, wo, k, 4, cg)
+        col_groups.append(
+            jnp.einsum("bhwkqc,bhwkq->bhwkc", gq, cw[:, :, :, g])
+        )
+    col = (
+        col_groups[0] if dg == 1
+        else jnp.concatenate(col_groups, axis=-1)
+    )  # (B, Ho, Wo, K, C)
 
     if groups == 1:
         out = jnp.einsum(

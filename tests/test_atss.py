@@ -2,6 +2,7 @@
 algorithm (atss/loss.py:131-186) and loss/inference smoke."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -154,6 +155,47 @@ def test_atss_loss_finite_and_differentiable():
         assert np.isfinite(np.asarray(g)).all()
 
 
+def test_pure_retinanet_ablation_no_branch():
+    """USE_CENTERNESS_PRED=False + USE_IOU_PRED=False
+    (atss/ret_R_50_FPN_1.5x.yaml): the head emits NO centerness output,
+    the loss has no branch term (GIoU normalized by num_pos), and
+    inference fuses nothing (advisor r2 finding)."""
+    import jax
+
+    from paa_tpu.modeling.atss_head import ATSSHead
+
+    head = ATSSHead(num_classes=5, num_levels=2, num_convs=1,
+                    in_channels=32, use_branch=False)
+    feats = [jnp.zeros((1, 8, 8, 32)), jnp.zeros((1, 4, 4, 32))]
+    v = head.init(jax.random.PRNGKey(0), feats)
+    out = head.apply(v, feats)
+    assert "iou_pred" not in out
+    assert "centerness" not in v["params"]
+
+    anchors, counts, gt_boxes, gt_labels = build_scenario()
+    n = anchors.shape[0]
+    rng = np.random.RandomState(0)
+    gtb = np.zeros((2, 4, 4), np.float32)
+    gtb[:, :3] = gt_boxes
+    gtl = np.zeros((2, 4), np.int32)
+    gtl[:, :3] = gt_labels
+    lc = ATSSLossConfig(topk=TOPK)
+    losses = atss_loss(
+        {
+            "cls_logits": jnp.asarray(
+                rng.normal(-3, 1, (2, n, 5)).astype(np.float32)),
+            "box_regression": jnp.asarray(
+                rng.normal(0, 0.3, (2, n, 4)).astype(np.float32)),
+        },
+        jnp.asarray(gtb), jnp.asarray(gtl), jnp.asarray(anchors),
+        counts, lc,
+    )
+    assert "loss_centerness" not in losses
+    assert np.isfinite(float(losses["loss_cls"]))
+    assert np.isfinite(float(losses["loss_reg"]))
+
+
+@pytest.mark.slow  # flagship-width R-50 compile
 def test_atss_model_builds_and_runs():
     from paa_tpu.config import get_cfg
     from paa_tpu.modeling import build_detection_model

@@ -176,3 +176,26 @@ def test_make_batch_truncates_gt():
     b = make_batch(samples, (64, 64), max_gt=5)
     assert b["gt_boxes"].shape == (1, 5, 4)
     assert (b["gt_labels"][0] == 1).all()
+
+
+def test_list_dataset(tmp_path):
+    """ListDataset (reference list_dataset.py): ad-hoc image paths with
+    a dummy full-image GT box, exposing the standard dataset protocol."""
+    import cv2
+
+    from paa_tpu.data.list_dataset import ListDataset
+
+    paths = []
+    for i, (w, h) in enumerate([(40, 30), (24, 48)]):
+        p = str(tmp_path / f"im{i}.png")
+        cv2.imwrite(p, np.zeros((h, w, 3), np.uint8))
+        paths.append(p)
+    ds = ListDataset(paths)
+    assert len(ds) == 2
+    info = ds.get_img_info(0)
+    assert (info["width"], info["height"]) == (40, 30)
+    np.testing.assert_array_equal(
+        ds.records[0].boxes, [[0.0, 0.0, 39.0, 29.0]]
+    )
+    assert ds.records[0].labels.tolist() == [1]
+    assert ds.load_image(1).shape == (48, 24, 3)

@@ -311,4 +311,14 @@ def test_c4_mask_rcnn_builds():
     logits = model.module.apply(
         variables, feats, rois, bidx, method=FasterRCNN.mask
     )
-    assert logits.shape == (1, 28, 28, 3)
+    # reference C4 semantics: pool 14 -> shared res5 (stride 2) -> 7x7
+    # -> MaskRCNNC4Predictor deconv -> 14x14 masks
+    assert logits.shape == (1, 14, 14, 3)
+    # the extractor weights ARE the box head's (roi_heads.py:19): the
+    # mask head owns only the predictor params
+    assert model.module.share_mask_extractor
+    assert set(variables["params"]["mask_head"].keys()) == {
+        "conv5_mask", "mask_fcn_logits"
+    }
+    # and the box head's res5 blocks exist exactly once
+    assert "layer4_0" in variables["params"]["box_head"]

@@ -2,6 +2,7 @@
 model build/forward smoke."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -122,6 +123,7 @@ def test_fcos_loss_finite():
         assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow  # flagship-width R-50 compile
 def test_fcos_model_builds_and_runs():
     from paa_tpu.config import get_cfg
     from paa_tpu.modeling import build_detection_model

@@ -10,6 +10,9 @@ import pytest
 
 from paa_tpu.config import get_cfg
 
+# full-model compiles: minutes cold on the CPU test runner
+pytestmark = pytest.mark.slow
+
 
 def paa_cfg():
     cfg = get_cfg()

@@ -23,6 +23,10 @@ from paa_tpu.modeling.paa_inference import paa_postprocess
 from paa_tpu.utils.torch_import import load_torch_state_dict
 
 import ref_torch
+import pytest
+
+# full-model compiles: minutes cold on the CPU test runner
+pytestmark = pytest.mark.slow
 
 HW = (128, 160)
 

@@ -2,6 +2,7 @@
 anchor shapes (9/loc), model build/forward smoke."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -85,6 +86,7 @@ def test_loss_finite_and_normalized():
     assert int(out["num_pos"]) > 0
 
 
+@pytest.mark.slow  # flagship-width R-50 compile
 def test_retinanet_model_builds_and_runs():
     from paa_tpu.modeling import build_detection_model
 

@@ -30,6 +30,10 @@ from paa_tpu.utils.torch_import import (
 )
 
 import ref_torch
+import pytest
+
+# full-model compiles: minutes cold on the CPU test runner
+pytestmark = pytest.mark.slow
 
 HW = (128, 160)
 

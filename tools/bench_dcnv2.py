@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark: PAA dcnv2 single-chip inference throughput on the real TPU.
+
+North-star config 4 is paa_dcnv2_X_101_64x4d_FPN_2x; this measures the
+dcnv2 family on chip (VERDICT r2 item 2b): full inference path (backbone
+with modulated-DCN stages 2-4 + FPN + PAA head + on-device NMS/voting),
+bf16, 800x1344. Config file and batch are selectable:
+
+    python tools/bench_dcnv2.py [--config-file configs/paa/paa_dcnv2_R_101_FPN_2x.yaml] [--batch 8]
+
+Prints one JSON line like bench.py.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/paa_tpu_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--config-file",
+        default="configs/paa/paa_dcnv2_R_101_FPN_2x.yaml",
+    )
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--hw", default="800,1344")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from paa_tpu.config import get_cfg
+    from paa_tpu.modeling import build_detection_model
+    from paa_tpu.modeling.paa_inference import (
+        PostProcessConfig,
+        paa_postprocess,
+    )
+
+    cfg = get_cfg()
+    cfg.merge_from_file(args.config_file)
+    cfg.MODEL.WEIGHT = ""
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.freeze()
+
+    model = build_detection_model(cfg)
+    hw = tuple(int(x) for x in args.hw.split(","))
+    batch = args.batch
+
+    variables = model.init(jax.random.PRNGKey(0), hw)
+    anchors, counts = model.anchors_for(hw)
+    pp = PostProcessConfig.from_cfg(cfg)
+
+    @jax.jit
+    def infer(variables, images, image_sizes, carry):
+        outputs = model.module.apply(variables, images + carry * 0.0)
+        det = paa_postprocess(
+            outputs, image_sizes, jnp.asarray(anchors), counts, pp
+        )
+        return det["scores"].sum()
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.uniform(-128, 128, (batch, *hw, 3)).astype(np.float32)
+    )
+    sizes = jnp.asarray(
+        np.tile(np.array([[800.0, 1333.0]], np.float32), (batch, 1))
+    )
+
+    zero = jnp.float32(0.0)
+    float(infer(variables, images, sizes, zero))
+    float(infer(variables, images, sizes, zero))
+
+    t0 = time.time()
+    carry = zero
+    for _ in range(args.iters):
+        carry = infer(variables, images, sizes, carry)
+    float(carry)
+    dt = time.time() - t0
+
+    name = os.path.basename(args.config_file).replace(".yaml", "")
+    img_per_s = batch * args.iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"{name} inference throughput "
+                          "(800x1344, bf16, incl. NMS+score-voting)",
+                "value": round(img_per_s, 2),
+                "unit": "images/sec/chip",
+                "batch": batch,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
