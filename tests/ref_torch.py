@@ -38,6 +38,36 @@ def install_shims() -> None:
         yacs.config = yacs_config
         sys.modules["yacs"] = yacs
         sys.modules["yacs.config"] = yacs_config
+    if "pycocotools" not in sys.modules:
+        # the reference's SegmentationMask rasterizes polygons through
+        # pycocotools.mask (segmentation_mask.py:294-296); our
+        # from-scratch RLE module provides the same three entry points
+        from paa_tpu.evaluation import mask_rle
+
+        def _frPyObjects(pyobj, h, w):
+            if len(pyobj) and not isinstance(
+                pyobj[0], (list, tuple, np.ndarray)
+            ):
+                pyobj = [pyobj]  # single flat polygon
+            return [mask_rle.polygons_to_rle([p], h, w) for p in pyobj]
+
+        def _merge(rles):
+            m = None
+            for r in rles:
+                d = mask_rle.decode(r)
+                m = d if m is None else np.maximum(m, d)
+            return mask_rle.encode(m)
+
+        pyco = types.ModuleType("pycocotools")
+        pyco_mask = types.ModuleType("pycocotools.mask")
+        pyco_mask.frPyObjects = _frPyObjects
+        pyco_mask.merge = _merge
+        pyco_mask.decode = lambda rle: mask_rle.decode(rle).astype(
+            np.uint8
+        )
+        pyco.mask = pyco_mask
+        sys.modules["pycocotools"] = pyco
+        sys.modules["pycocotools.mask"] = pyco_mask
     if "paa_core._C" not in sys.modules:
 
         def _py_nms(boxes, scores, threshold):

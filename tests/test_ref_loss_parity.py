@@ -938,5 +938,210 @@ class TestROIBoxLossParity(unittest.TestCase):
             float(out["loss_box_reg"]), ref_reg, rtol=1e-4)
 
 
+@unittest.skipUnless(
+    ref_torch.reference_available(), "reference checkout not present"
+)
+class TestROIMaskLossParity(unittest.TestCase):
+    """Mask loss vs MaskRCNNLossComputation (mask_head/loss.py:45-128).
+
+    Two claims, tested separately:
+    1. The LOSS FORMULA is exact: given identical 28x28 targets, our
+       per-class-channel BCE equals the reference's
+       binary_cross_entropy_with_logits over positives (channel c-1
+       here == channel c there; its background channel is never used).
+    2. The TARGETS approximate: the reference crops the GT polygon to
+       each proposal and rasterizes at 28x28
+       (project_masks_on_boxes, loss.py:11-42); we bilinear-crop a
+       box-frame 28x28 raster (an accepted resolution trade for the
+       static-shape pipeline, PARITY.md). For rectangle polygons the
+       two targets must agree to high IoU.
+    """
+
+    NUM_CLASSES = 5  # incl. background
+
+    def _setup_case(self, seed):
+        import torch
+
+        ref_torch.install_shims()
+        from paa_core.structures.bounding_box import BoxList
+        from paa_core.structures.segmentation_mask import SegmentationMask
+
+        rng = np.random.RandomState(seed)
+        W, H = 80, 64
+        # GT: axis-aligned rectangles (exact under both rasterizations)
+        g = 3
+        gt_boxes, polys, labels = [], [], []
+        for k in range(g):
+            x1 = rng.uniform(2, W * 0.5)
+            y1 = rng.uniform(2, H * 0.5)
+            w = rng.uniform(14, W * 0.45)
+            h = rng.uniform(12, H * 0.45)
+            x2, y2 = min(x1 + w, W - 2.0), min(y1 + h, H - 2.0)
+            gt_boxes.append([x1, y1, x2, y2])
+            # polygon: the inner 80% rectangle of the box
+            ix1, iy1 = x1 + 0.1 * (x2 - x1), y1 + 0.1 * (y2 - y1)
+            ix2, iy2 = x2 - 0.1 * (x2 - x1), y2 - 0.1 * (y2 - y1)
+            polys.append([[ix1, iy1, ix2, iy1, ix2, iy2, ix1, iy2]])
+            labels.append(int(rng.randint(1, self.NUM_CLASSES)))
+
+        # proposals: jittered copies of the gts (guaranteed positives)
+        props = []
+        for k in range(g):
+            b = np.asarray(gt_boxes[k]) + rng.normal(0, 2.0, 4)
+            b[0::2] = np.clip(b[0::2], 0, W - 1)
+            b[1::2] = np.clip(b[1::2], 0, H - 1)
+            props.append([min(b[0], b[2]), min(b[1], b[3]),
+                          max(b[0], b[2]), max(b[1], b[3])])
+        props = np.asarray(props, np.float32)
+
+        target_bl = BoxList(torch.as_tensor(np.asarray(gt_boxes,
+                                                       np.float32)),
+                            (W, H), mode="xyxy")
+        target_bl.add_field("labels", torch.as_tensor(
+            np.asarray(labels, np.int64)))
+        target_bl.add_field("masks", SegmentationMask(polys, (W, H),
+                                                      mode="poly"))
+        prop_bl = BoxList(torch.as_tensor(props), (W, H), mode="xyxy")
+        return (torch, gt_boxes, polys, labels, props, target_bl,
+                prop_bl, (W, H))
+
+    def test_formula_exact_and_targets_close(self):
+        (torch, gt_boxes, polys, labels, props, target_bl, prop_bl,
+         (W, H)) = self._setup_case(0)
+        from paa_core.modeling.roi_heads.mask_head.loss import (
+            make_roi_mask_loss_evaluator)
+        from paa_core.config import cfg as ref_cfg
+
+        if ref_cfg.is_frozen():
+            ref_cfg.defrost()
+        ref_cfg.MODEL.ROI_MASK_HEAD.RESOLUTION = 28
+        evaluator = make_roi_mask_loss_evaluator(ref_cfg)
+
+        rng = np.random.RandomState(1)
+        r = len(props)
+        logits_np = rng.normal(
+            0, 1, (r, self.NUM_CLASSES, 28, 28)).astype(np.float32)
+        with torch.no_grad():
+            ref_loss = evaluator(
+                [prop_bl], torch.as_tensor(logits_np), [target_bl])
+            ref_labels, ref_targets = evaluator.prepare_targets(
+                [prop_bl], [target_bl])
+        ref_targets = ref_targets[0].numpy()  # (n_pos, 28, 28)
+        ref_labels = ref_labels[0].numpy()
+
+        # ---- 1. formula exactness on the reference's own targets ----
+        from paa_tpu.modeling.roi_mask_head import mask_loss
+
+        pos = ref_labels > 0
+        # prepare_targets returns targets for POSITIVES only, in index
+        # order; mask_loss takes per-roi targets and masks internally
+        full_targets = np.zeros((r, 28, 28), np.float32)
+        full_targets[pos] = ref_targets
+        # channel layout: ours drops background, so channel = label - 1
+        ours_logits = jnp.asarray(
+            np.transpose(logits_np[:, 1:], (0, 2, 3, 1)))
+        out = mask_loss(
+            ours_logits,
+            jnp.asarray(ref_labels.astype(np.int32)),
+            jnp.asarray(full_targets),
+            jnp.ones((r,), bool),
+        )
+        np.testing.assert_allclose(
+            float(out["loss_mask"]), float(ref_loss), rtol=1e-5)
+
+        # ---- 2. target approximation quality -------------------------
+        from paa_tpu.modeling.roi_mask_head import crop_gt_masks_for_rois
+
+        # box-frame 28x28 rasters of the inner-80% rectangle polygons
+        m = 28
+        gt_masks = np.zeros((r, m, m), np.float32)
+        for k, (bx, poly) in enumerate(zip(gt_boxes, polys)):
+            x1, y1, x2, y2 = bx
+            px = np.asarray(poly[0][0::2])
+            py = np.asarray(poly[0][1::2])
+            # map polygon corners into box-frame pixels
+            fx = (px - x1) / max(x2 - x1, 1e-6) * m
+            fy = (py - y1) / max(y2 - y1, 1e-6) * m
+            xs = slice(int(round(fx.min())), int(round(fx.max())))
+            ys = slice(int(round(fy.min())), int(round(fy.max())))
+            gt_masks[k, ys, xs] = 1.0
+        ours_targets = np.asarray(crop_gt_masks_for_rois(
+            jnp.asarray(gt_masks),
+            jnp.asarray(np.asarray(gt_boxes, np.float32)),
+            jnp.asarray(props),
+            out_size=28,
+        ))
+        inter = np.logical_and(ours_targets > 0.5, ref_targets > 0.5)
+        union = np.logical_or(ours_targets > 0.5, ref_targets > 0.5)
+        iou = inter.sum() / max(union.sum(), 1)
+        self.assertGreater(
+            iou, 0.9,
+            f"mask target rasterization IoU {iou:.3f} vs reference",
+        )
+
+
+@unittest.skipUnless(
+    ref_torch.reference_available(), "reference checkout not present"
+)
+class TestROIKeypointLossParity(unittest.TestCase):
+    """Keypoint loss vs KeypointRCNNLossComputation.__call__
+    (keypoint_head/loss.py:144-170) + keypoints_to_heat_map
+    (structures/keypoint.py:154-188): identical proposals and GT
+    keypoints must produce the same heatmap cross-entropy — including
+    the x==x2 boundary snap, out-of-roi invalidation, and visibility
+    gating."""
+
+    def test_loss_matches(self):
+        import torch
+
+        ref_torch.install_shims()
+        from paa_core.structures.bounding_box import BoxList
+        from paa_core.structures.keypoint import PersonKeypoints
+        from paa_core.modeling.roi_heads.keypoint_head.loss import (
+            KeypointRCNNLossComputation)
+
+        rng = np.random.RandomState(3)
+        W, H, K, S = 120, 96, 17, 14
+        r = 6
+        rois = []
+        for _ in range(r):
+            x = np.sort(rng.uniform(0, W - 10, 2) + [0, 10])
+            y = np.sort(rng.uniform(0, H - 10, 2) + [0, 10])
+            rois.append([x[0], y[0], x[1], y[1]])
+        rois = np.asarray(rois, np.float32)
+
+        kps = np.zeros((r, K, 3), np.float32)
+        for i in range(r):
+            # mix: inside-roi visible, outside-roi visible, invisible,
+            # and exact right/bottom-boundary points (the snap rule)
+            kps[i, :, 0] = rng.uniform(0, W, K)
+            kps[i, :, 1] = rng.uniform(0, H, K)
+            kps[i, :, 2] = (rng.rand(K) > 0.3).astype(np.float32)
+            kps[i, 0, :2] = [rois[i, 2], rois[i, 3]]  # boundary snap
+            kps[i, 0, 2] = 1.0
+
+        logits = rng.normal(0, 1, (r, K, S, S)).astype(np.float32)
+
+        bl = BoxList(torch.as_tensor(rois), (W, H), mode="xyxy")
+        bl.add_field(
+            "keypoints",
+            PersonKeypoints(torch.as_tensor(kps), (W, H)),
+        )
+        evaluator = KeypointRCNNLossComputation(None, None, S)
+        with torch.no_grad():
+            ref_loss = evaluator([bl], torch.as_tensor(logits))
+
+        from paa_tpu.modeling.roi_keypoint_head import keypoint_loss
+
+        out = keypoint_loss(
+            jnp.asarray(np.transpose(logits, (0, 2, 3, 1))),
+            jnp.asarray(rois),
+            jnp.asarray(kps),
+            jnp.ones((r,), bool),
+        )
+        np.testing.assert_allclose(
+            float(out["loss_kp"]), float(ref_loss), rtol=1e-5)
+
+
 if __name__ == "__main__":
     unittest.main()
