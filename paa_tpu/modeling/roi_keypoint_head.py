@@ -57,10 +57,15 @@ class KeypointHead(nn.Module):
                 name=f"conv_fcn{i}",
             )(x)
             x = nn.relu(x)
-        # deconv kernel 4 stride 2 pad 1: 14 -> 28
+        # deconv kernel 4 stride 2 pad 1: 14 -> 28. torch
+        # ConvTranspose2d(k, s, p) corresponds to flax padding
+        # (k - 1 - p) per side = (2, 2) here — verified value-exact
+        # against the reference predictor in
+        # tests/test_torch_import_roi.py (((1, 1), (1, 1)) would crop
+        # the output to 26x26 and shift the heatmap geometry)
         x = nn.ConvTranspose(
             self.num_keypoints, (4, 4), strides=(2, 2),
-            padding=((1, 1), (1, 1)),
+            padding=((2, 2), (2, 2)),
             kernel_init=kaiming_normal_fan_out,
             name="kps_score_lowres",
         )(x.astype(jnp.float32))

@@ -19,6 +19,8 @@ import numpy as np
 
 REFERENCE_ROOT = "/root/reference"
 
+_REF_CFG_DEFAULTS = None  # pristine reference-cfg snapshot (see below)
+
 
 def reference_available() -> bool:
     return os.path.isdir(os.path.join(REFERENCE_ROOT, "paa_core"))
@@ -102,12 +104,41 @@ def install_shims() -> None:
             offset = labels.double().reshape(-1, 1) * 100000.0
             return _py_nms(boxes.double() + offset, scores, threshold)
 
+        def _roi_align_forward(inp, rois, spatial_scale, pooled_h,
+                               pooled_w, sampling_ratio):
+            """CPU ROIAlign via our JAX kernel (legacy aligned=False
+            semantics, matching csrc/cpu/ROIAlign_cpu.cpp): input NCHW,
+            rois (R, 5) [batch_idx, x1, y1, x2, y2] -> NCHW output.
+            Lets the reference Pooler/feature extractors run on CPU."""
+            import jax.numpy as jnp
+            import torch
+
+            from paa_tpu.ops.roi_align import roi_align as jax_roi_align
+
+            x = jnp.asarray(
+                inp.detach().numpy().transpose(0, 2, 3, 1)
+            )
+            r = rois.detach().numpy()
+            out = jax_roi_align(
+                x,
+                jnp.asarray(r[:, 1:5]),
+                jnp.asarray(r[:, 0].astype(np.int32)),
+                (int(pooled_h), int(pooled_w)),
+                float(spatial_scale),
+                int(sampling_ratio),
+            )
+            return torch.as_tensor(
+                np.asarray(out).transpose(0, 3, 1, 2)
+            ).to(inp.dtype)
+
         class _CStub(types.ModuleType):
             """Raises on CUDA-only ops; provides real python nms/ml_nms
-            so the reference post-processing runs on CPU."""
+            (and a JAX-backed roi_align_forward) so the reference
+            post-processing and ROI heads run on CPU."""
 
             nms = staticmethod(_py_nms)
             ml_nms = staticmethod(_py_ml_nms)
+            roi_align_forward = staticmethod(_roi_align_forward)
 
             def __getattr__(self, name):
                 if name.startswith("__"):
@@ -119,16 +150,92 @@ def install_shims() -> None:
                 return _fail
 
         sys.modules["paa_core._C"] = _CStub("paa_core._C")
+    _patch_dcn_cpu()
 
 
-def build_reference_model(config_file: str = "configs/paa/paa_R_50_FPN_1x.yaml"):
-    """Build the reference torch detection model on CPU (eval mode)."""
+def _patch_dcn_cpu() -> None:
+    """Make the reference's (Modulated)DeformConv run on CPU by routing
+    the forward through our JAX kernel (the reference autograd wrappers
+    raise NotImplementedError off-GPU, layers/dcn/deform_conv_func.py:42).
+
+    The offset/mask channel conventions are identical on both sides
+    (per deformable group, per kernel position, a (dy, dx) pair — CUDA
+    layout), so only NCHW<->NHWC transposes are needed. NOTE the
+    circularity boundary: this makes import/forward parity tests
+    sensitive to weight-layout mapping errors (both sides consume the
+    same torch weights through their own layout paths), but it does NOT
+    re-verify kernel semantics — those are pinned separately against a
+    numpy transcription of the CUDA kernel in tests/test_dcn.py."""
+    import torch
+
+    from paa_core.layers.dcn import deform_conv_module as _m
+
+    from paa_tpu.ops.dcn import deform_conv2d as _jax_dcn
+
+    def _run(mod, inp, offset, mask):
+        import jax.numpy as jnp
+
+        def _pair0(v):
+            return v[0] if isinstance(v, (tuple, list)) else v
+
+        x = jnp.asarray(inp.detach().numpy().transpose(0, 2, 3, 1))
+        off = jnp.asarray(
+            offset.detach().numpy().transpose(0, 2, 3, 1)
+        )
+        mk = (
+            None if mask is None
+            else jnp.asarray(mask.detach().numpy().transpose(0, 2, 3, 1))
+        )
+        w = jnp.asarray(
+            mod.weight.detach().numpy().transpose(2, 3, 1, 0)
+        )
+        out = _jax_dcn(
+            x, off, mk, w,
+            strides=_pair0(mod.stride),
+            padding=_pair0(mod.padding),
+            dilation=_pair0(mod.dilation),
+            groups=mod.groups,
+            deformable_groups=mod.deformable_groups,
+        )
+        y = torch.as_tensor(
+            np.asarray(out).transpose(0, 3, 1, 2)
+        ).to(inp.dtype)
+        if getattr(mod, "bias", None) is not None:
+            y = y + mod.bias.reshape(1, -1, 1, 1)
+        return y
+
+    _m.DeformConv.forward = (
+        lambda self, input, offset: _run(self, input, offset, None)
+    )
+    _m.ModulatedDeformConv.forward = (
+        lambda self, input, offset, mask: _run(self, input, offset, mask)
+    )
+
+
+def build_reference_model(
+    config_file: str = "configs/paa/paa_R_50_FPN_1x.yaml",
+    opts=None,
+):
+    """Build the reference torch detection model on CPU (eval mode).
+
+    ``opts``: optional flat [key, value, ...] override list merged after
+    the file (same shape as the reference CLI's trailing opts)."""
     install_shims()
     from paa_core.config import cfg as ref_cfg
 
     if ref_cfg.is_frozen():
         ref_cfg.defrost()
+    # the reference cfg is a singleton: restore pristine defaults before
+    # merging so overrides from a previous build in the same process
+    # (e.g. DCN stages) don't leak into this one
+    global _REF_CFG_DEFAULTS
+    if _REF_CFG_DEFAULTS is None:
+        _REF_CFG_DEFAULTS = ref_cfg.clone()
+    else:
+        ref_cfg.merge_from_other_cfg(_REF_CFG_DEFAULTS)
     ref_cfg.merge_from_file(os.path.join(REFERENCE_ROOT, config_file))
+    if opts:
+        ref_cfg.merge_from_list(list(opts))
     ref_cfg.MODEL.WEIGHT = ""
     ref_cfg.MODEL.DEVICE = "cpu"
     from paa_core.modeling.detector import build_detection_model
@@ -200,6 +307,82 @@ def torch_key_to_c2_name(key: str):
         sb = "s" if leaf == "weight" else "b"
         return f"res{int(l) + 1}_{b}_branch1_bn_{sb}"
     return None  # running stats: pre-folded in c2 pickles, no blob
+
+
+_C2_LAST_BLOCK = {"R-50": {2: 2, 3: 3, 4: 5, 5: 2}}
+
+
+def torch_key_to_c2_detection_name(key: str, arch: str = "R-50"):
+    """Reference torch detection-model key -> Detectron blob name
+    (inverse of the FULL c2_model_loading.py rename surface: FPN
+    laterals/outputs, RPN head, box/mask/keypoint ROI heads), for
+    synthesizing Caffe2Detectron/COCO-shaped pickles in tests."""
+    import re
+
+    last = _C2_LAST_BLOCK[arch]
+    wb = {"weight": "w", "bias": "b"}
+    m = re.match(r"^backbone\.fpn\.fpn_inner(\d)\.(weight|bias)$", key)
+    if m:
+        lvl, leaf = int(m.group(1)), wb[m.group(2)]
+        stage = lvl + 1
+        lateral = "" if stage == 5 else "_lateral"
+        return (
+            f"fpn_inner_res{stage}_{last[stage]}_sum{lateral}_{leaf}"
+        )
+    m = re.match(r"^backbone\.fpn\.fpn_layer(\d)\.(weight|bias)$", key)
+    if m:
+        lvl, leaf = int(m.group(1)), wb[m.group(2)]
+        stage = lvl + 1
+        return f"fpn_res{stage}_{last[stage]}_sum_{leaf}"
+    m = re.match(r"^rpn\.head\.conv\.(weight|bias)$", key)
+    if m:
+        return f"conv_rpn_fpn2_{wb[m.group(1)]}"
+    m = re.match(r"^rpn\.head\.(cls_logits|bbox_pred)\.(weight|bias)$",
+                 key)
+    if m:
+        return f"rpn_{m.group(1)}_fpn2_{wb[m.group(2)]}"
+    m = re.match(
+        r"^roi_heads\.box\.feature_extractor\.fc(6|7)\.(weight|bias)$",
+        key,
+    )
+    if m:
+        return f"fc{m.group(1)}_{wb[m.group(2)]}"
+    m = re.match(
+        r"^roi_heads\.box\.predictor\.(cls_score|bbox_pred)"
+        r"\.(weight|bias)$",
+        key,
+    )
+    if m:
+        return f"{m.group(1)}_{wb[m.group(2)]}"
+    m = re.match(
+        r"^roi_heads\.mask\.feature_extractor\.mask_fcn(\d)"
+        r"\.(weight|bias)$",
+        key,
+    )
+    if m:
+        return f"_[mask]_fcn{m.group(1)}_{wb[m.group(2)]}"
+    m = re.match(
+        r"^roi_heads\.mask\.predictor\.(mask_fcn_logits|conv5_mask)"
+        r"\.(weight|bias)$",
+        key,
+    )
+    if m:
+        return f"{m.group(1)}_{wb[m.group(2)]}"
+    m = re.match(
+        r"^roi_heads\.keypoint\.feature_extractor\.conv_fcn(\d+)"
+        r"\.(weight|bias)$",
+        key,
+    )
+    if m:
+        return f"conv_fcn{m.group(1)}_{wb[m.group(2)]}"
+    m = re.match(
+        r"^roi_heads\.keypoint\.predictor\.(kps_score_lowres|kps_score)"
+        r"\.(weight|bias)$",
+        key,
+    )
+    if m:
+        return f"{m.group(1)}_{wb[m.group(2)]}"
+    return torch_key_to_c2_name(key)
 
 
 def permute_and_flatten(t, num_anchors: int, channels: int):

@@ -326,6 +326,116 @@ class TestPAALossParity(unittest.TestCase):
         self.assertGreater(int((ref_labels > 0).sum()), 0)
         self._assert_parity(ref_losses, ref_labels, out, aux)
 
+    def _run_grads(self, seed, use_iou_pred=True):
+        """GRADIENT parity: d(total loss)/d(head outputs) must match the
+        reference's autograd. Value parity alone can hide detach
+        mismatches — e.g. the reference computes the GIoU reg weights
+        from the PREDICTED boxes with gradients flowing (loss.py:
+        328-356) and detaches only the GMM scoring (loss.py:292-306);
+        a stray stop_gradient on our side would pass every value test
+        and still train differently."""
+        import jax
+
+        torch = self.torch
+        rng = np.random.RandomState(seed)
+
+        box_cls_t, box_reg_t, iou_pred_t = [], [], []
+        for (h, w) in SHAPES:
+            box_cls_t.append(torch.as_tensor(
+                rng.normal(-2.0, 1.0, (2, self.NUM_CLASSES, h, w))
+                .astype(np.float32)).requires_grad_(True))
+            box_reg_t.append(torch.as_tensor(
+                rng.normal(0.0, 0.5, (2, 4, h, w)).astype(np.float32))
+                .requires_grad_(True))
+            iou_pred_t.append(torch.as_tensor(
+                rng.normal(0.0, 1.0, (2, 1, h, w)).astype(np.float32))
+                .requires_grad_(True))
+
+        gt_boxes_np, gt_labels_np, _ = make_gts(rng, 2, 5)
+        targets, anchors_ref = make_ref_boxlists(
+            gt_boxes_np, gt_labels_np, self.anchors_np, IMG_W, IMG_H)
+
+        evaluator = self._ref_loss(use_iou_pred)
+        ref_losses = evaluator(
+            box_cls_t, box_reg_t,
+            iou_pred_t if use_iou_pred else None,
+            targets, anchors_ref, None,
+        )
+        total = ref_losses[0] + ref_losses[1]
+        if use_iou_pred:
+            total = total + ref_losses[2]
+        total.backward()
+
+        def flatten(ts, c, grad=False):
+            return np.concatenate(
+                [
+                    ref_torch.permute_and_flatten(
+                        t.grad if grad else t, 1, c
+                    )
+                    for t in ts
+                ],
+                axis=1,
+            )
+
+        outputs = {
+            "cls_logits": jnp.asarray(
+                flatten(box_cls_t, self.NUM_CLASSES)),
+            "box_regression": jnp.asarray(flatten(box_reg_t, 4)),
+        }
+        if use_iou_pred:
+            outputs["iou_pred"] = jnp.asarray(
+                flatten(iou_pred_t, 1)[..., 0])
+
+        gt_boxes, gt_labels = pad_gts(gt_boxes_np, gt_labels_np, 2)
+        from paa_tpu.modeling.paa_loss import paa_loss
+
+        def total_fn(out_dict):
+            losses = paa_loss(
+                out_dict, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                jnp.asarray(self.anchors_flat), self.level_counts,
+                self._our_config(use_iou_pred), num_shards=1,
+            )
+            t = losses["loss_cls"] + losses["loss_reg"]
+            if use_iou_pred:
+                t = t + losses["loss_iou_pred"]
+            return t
+
+        grads = jax.grad(total_fn)(outputs)
+
+        np.testing.assert_allclose(
+            np.asarray(grads["cls_logits"]),
+            flatten(box_cls_t, self.NUM_CLASSES, grad=True),
+            rtol=1e-3, atol=1e-8, err_msg="d/d cls_logits",
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads["box_regression"]),
+            flatten(box_reg_t, 4, grad=True),
+            rtol=1e-3, atol=1e-8, err_msg="d/d box_regression",
+        )
+        if use_iou_pred:
+            np.testing.assert_allclose(
+                np.asarray(grads["iou_pred"]),
+                flatten(iou_pred_t, 1, grad=True)[..., 0],
+                rtol=1e-3, atol=1e-8, err_msg="d/d iou_pred",
+            )
+
+    def test_gradients_seed0(self):
+        self._run_grads(10)
+
+    def test_gradients_no_iou_pred(self):
+        self._run_grads(11, use_iou_pred=False)
+
+
+def _flat_t(ts, c, grad=False):
+    """Per-level torch NCHW tensors (or their grads) -> (B, N, C)."""
+    return np.concatenate(
+        [
+            ref_torch.permute_and_flatten(t.grad if grad else t, 1, c)
+            for t in ts
+        ],
+        axis=1,
+    )
+
 
 def _shim_focal(loss_evaluator, gamma, alpha):
     """Work around the reference CPU focal-loss quirk (gamma[0]/alpha[0]
@@ -462,6 +572,87 @@ class TestATSSLossParity(unittest.TestCase):
         np.testing.assert_allclose(
             float(out["loss_centerness"]), float(ref_losses[2]), rtol=rtol)
 
+    def test_gradients_atss_mode(self):
+        """d(total)/d(head outputs) vs reference autograd (the ATSS
+        assignment is score-independent, so only the loss formulas and
+        the centerness-weighted GIoU normalization carry gradients)."""
+        import jax
+
+        torch = self.torch
+        cfg = self.ref_cfg
+        if cfg.is_frozen():
+            cfg.defrost()
+        cfg.MODEL.ATSS.POSITIVE_TYPE = "ATSS"
+        rng = np.random.RandomState(19)
+
+        box_cls_t, box_reg_t, ctr_t = [], [], []
+        for (h, w) in BIG_SHAPES:
+            box_cls_t.append(torch.as_tensor(
+                rng.normal(-2.0, 1.0, (2, self.NUM_CLASSES, h, w))
+                .astype(np.float32)).requires_grad_(True))
+            box_reg_t.append(torch.as_tensor(
+                rng.normal(0.0, 0.5, (2, 4, h, w)).astype(np.float32))
+                .requires_grad_(True))
+            ctr_t.append(torch.as_tensor(
+                rng.normal(0.0, 1.0, (2, 1, h, w)).astype(np.float32))
+                .requires_grad_(True))
+        gt_boxes_np, gt_labels_np, _ = make_gts(
+            rng, 2, 4, include_tiny=False, img_w=BIG_W, img_h=BIG_H)
+        targets, anchors_ref = make_ref_boxlists(
+            gt_boxes_np, gt_labels_np, self.anchors_np, BIG_W, BIG_H)
+
+        from paa_core.modeling.rpn.atss.loss import (
+            make_atss_loss_evaluator)
+        from paa_core.modeling.rpn.atss.atss import BoxCoder
+
+        evaluator = make_atss_loss_evaluator(cfg, BoxCoder(cfg))
+        _shim_focal(evaluator, cfg.MODEL.ATSS.LOSS_GAMMA,
+                    cfg.MODEL.ATSS.LOSS_ALPHA)
+        ref_losses = evaluator(
+            box_cls_t, box_reg_t, ctr_t, targets, anchors_ref)
+        (ref_losses[0] + ref_losses[1] + ref_losses[2]).backward()
+
+        from paa_tpu.modeling.atss_loss import ATSSLossConfig, atss_loss
+
+        outputs = {
+            "cls_logits": jnp.asarray(_flat_t(box_cls_t,
+                                              self.NUM_CLASSES)),
+            "box_regression": jnp.asarray(_flat_t(box_reg_t, 4)),
+            "iou_pred": jnp.asarray(_flat_t(ctr_t, 1)[..., 0]),
+        }
+        gt_boxes, gt_labels = pad_gts(gt_boxes_np, gt_labels_np, 2)
+        lc = ATSSLossConfig(
+            gamma=cfg.MODEL.ATSS.LOSS_GAMMA,
+            alpha=cfg.MODEL.ATSS.LOSS_ALPHA,
+            topk=cfg.MODEL.ATSS.TOPK,
+            fg_iou_threshold=cfg.MODEL.ATSS.FG_IOU_THRESHOLD,
+            bg_iou_threshold=cfg.MODEL.ATSS.BG_IOU_THRESHOLD,
+            reg_loss_weight=cfg.MODEL.ATSS.REG_LOSS_WEIGHT,
+            positive_type="ATSS",
+            use_iou_pred=False,
+        )
+
+        def total_fn(out_dict):
+            losses = atss_loss(
+                out_dict, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                jnp.asarray(self.anchors_flat), self.level_counts, lc)
+            return (losses["loss_cls"] + losses["loss_reg"]
+                    + losses["loss_centerness"])
+
+        grads = jax.grad(total_fn)(outputs)
+        np.testing.assert_allclose(
+            np.asarray(grads["cls_logits"]),
+            _flat_t(box_cls_t, self.NUM_CLASSES, grad=True),
+            rtol=1e-3, atol=1e-8, err_msg="d/d cls_logits")
+        np.testing.assert_allclose(
+            np.asarray(grads["box_regression"]),
+            _flat_t(box_reg_t, 4, grad=True),
+            rtol=1e-3, atol=1e-8, err_msg="d/d box_regression")
+        np.testing.assert_allclose(
+            np.asarray(grads["iou_pred"]),
+            _flat_t(ctr_t, 1, grad=True)[..., 0],
+            rtol=1e-3, atol=1e-8, err_msg="d/d centerness")
+
     def test_atss_mode(self):
         self._assert_parity(*self._run_case(10, "ATSS"))
 
@@ -596,6 +787,89 @@ class TestFCOSLossParity(unittest.TestCase):
         np.testing.assert_allclose(
             float(out["loss_centerness"]), float(ref_losses[2]), rtol=rtol)
 
+    def test_gradients_plain(self):
+        """d(total)/d(head outputs) vs reference autograd — pins the
+        IOULoss backward (area-ratio quotient rule) and the
+        centerness-weighted reg normalization (fcos/loss.py:239-266)."""
+        import jax
+
+        torch = self.torch
+        cfg = self.ref_cfg
+        if cfg.is_frozen():
+            cfg.defrost()
+        cfg.MODEL.FCOS.CENTER_SAMPLING_RADIUS = 0.0
+        cfg.MODEL.FCOS.IOU_LOSS_TYPE = "iou"
+        cfg.MODEL.FCOS.NORM_REG_TARGETS = False
+        rng = np.random.RandomState(29)
+
+        box_cls_t, box_reg_t, ctr_t = [], [], []
+        for (h, w) in SHAPES:
+            box_cls_t.append(torch.as_tensor(
+                rng.normal(-2.0, 1.0, (2, self.NUM_CLASSES, h, w))
+                .astype(np.float32)).requires_grad_(True))
+            box_reg_t.append(torch.as_tensor(
+                rng.uniform(1.0, 64.0, (2, 4, h, w)).astype(np.float32))
+                .requires_grad_(True))
+            ctr_t.append(torch.as_tensor(
+                rng.normal(0.0, 1.0, (2, 1, h, w)).astype(np.float32))
+                .requires_grad_(True))
+        gt_boxes_np, gt_labels_np, _ = make_gts(
+            rng, 2, 4, include_tiny=False)
+        targets, _ = make_ref_boxlists(
+            gt_boxes_np, gt_labels_np, [], IMG_W, IMG_H)
+        locations_t = [torch.as_tensor(p) for p in self.locations_np]
+
+        from paa_core.modeling.rpn.fcos.loss import (
+            make_fcos_loss_evaluator)
+
+        evaluator = make_fcos_loss_evaluator(cfg)
+        _shim_focal(evaluator, cfg.MODEL.FCOS.LOSS_GAMMA,
+                    cfg.MODEL.FCOS.LOSS_ALPHA)
+        ref_losses = evaluator(
+            locations_t, box_cls_t, box_reg_t, ctr_t, targets)
+        (ref_losses[0] + ref_losses[1] + ref_losses[2]).backward()
+
+        from paa_tpu.modeling.fcos_loss import FCOSLossConfig, fcos_loss
+
+        outputs = {
+            "cls_logits": jnp.asarray(_flat_t(box_cls_t,
+                                              self.NUM_CLASSES)),
+            "box_regression": jnp.asarray(_flat_t(box_reg_t, 4)),
+            "iou_pred": jnp.asarray(_flat_t(ctr_t, 1)[..., 0]),
+        }
+        gt_boxes, gt_labels = pad_gts(gt_boxes_np, gt_labels_np, 2)
+        lc = FCOSLossConfig(
+            gamma=cfg.MODEL.FCOS.LOSS_GAMMA,
+            alpha=cfg.MODEL.FCOS.LOSS_ALPHA,
+            strides=STRIDES,
+            center_sampling_radius=0.0,
+            iou_loss_type="iou",
+            norm_reg_targets=False,
+        )
+        loc_flat = np.concatenate(self.locations_np, axis=0)
+        loc_xyxy = np.concatenate([loc_flat, loc_flat], axis=1)
+
+        def total_fn(out_dict):
+            losses = fcos_loss(
+                out_dict, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                jnp.asarray(loc_xyxy), self.level_counts, lc)
+            return (losses["loss_cls"] + losses["loss_reg"]
+                    + losses["loss_centerness"])
+
+        grads = jax.grad(total_fn)(outputs)
+        np.testing.assert_allclose(
+            np.asarray(grads["cls_logits"]),
+            _flat_t(box_cls_t, self.NUM_CLASSES, grad=True),
+            rtol=1e-3, atol=1e-8, err_msg="d/d cls_logits")
+        np.testing.assert_allclose(
+            np.asarray(grads["box_regression"]),
+            _flat_t(box_reg_t, 4, grad=True),
+            rtol=1e-3, atol=1e-8, err_msg="d/d box_regression")
+        np.testing.assert_allclose(
+            np.asarray(grads["iou_pred"]),
+            _flat_t(ctr_t, 1, grad=True)[..., 0],
+            rtol=1e-3, atol=1e-8, err_msg="d/d centerness")
+
     def test_plain(self):
         self._assert_parity(*self._run_case(20))
 
@@ -707,6 +981,76 @@ class TestRetinaNetLossParity(unittest.TestCase):
             jnp.asarray(self.anchors_flat),
             lc.fg_iou_threshold, lc.bg_iou_threshold)
         return ref_losses, ref_labels, out, np.asarray(labels)
+
+    def test_gradients(self):
+        """d(total)/d(head outputs) vs reference autograd — pins the
+        smooth-L1 backward and the per-GPU pos normalization
+        (retinanet/loss.py:43-81)."""
+        import jax
+
+        torch = self.torch
+        cfg = self.ref_cfg
+        rng = np.random.RandomState(39)
+
+        box_cls_t, box_reg_t = [], []
+        for (h, w) in SHAPES:
+            box_cls_t.append(torch.as_tensor(
+                rng.normal(-2.0, 1.0, (2, self.NUM_CLASSES, h, w))
+                .astype(np.float32)).requires_grad_(True))
+            box_reg_t.append(torch.as_tensor(
+                rng.normal(0.0, 0.5, (2, 4, h, w)).astype(np.float32))
+                .requires_grad_(True))
+        gt_boxes_np, gt_labels_np, _ = make_gts(rng, 2, 4)
+        targets, anchors_ref = make_ref_boxlists(
+            gt_boxes_np, gt_labels_np, self.anchors_np, IMG_W, IMG_H)
+
+        from paa_core.modeling.rpn.retinanet.loss import (
+            make_retinanet_loss_evaluator)
+        from paa_core.modeling.box_coder import BoxCoder
+
+        evaluator = make_retinanet_loss_evaluator(
+            cfg, BoxCoder(weights=(10., 10., 5., 5.)))
+        evaluator.box_cls_loss_func.gamma = [
+            cfg.MODEL.RETINANET.LOSS_GAMMA]
+        evaluator.box_cls_loss_func.alpha = [
+            cfg.MODEL.RETINANET.LOSS_ALPHA]
+        ref_losses = evaluator(anchors_ref, box_cls_t, box_reg_t,
+                               targets)
+        (ref_losses[0] + ref_losses[1]).backward()
+
+        from paa_tpu.modeling.retinanet_head import (
+            RetinaNetLossConfig, retinanet_loss)
+
+        outputs = {
+            "cls_logits": jnp.asarray(_flat_t(box_cls_t,
+                                              self.NUM_CLASSES)),
+            "box_regression": jnp.asarray(_flat_t(box_reg_t, 4)),
+        }
+        gt_boxes, gt_labels = pad_gts(gt_boxes_np, gt_labels_np, 2)
+        lc = RetinaNetLossConfig(
+            gamma=cfg.MODEL.RETINANET.LOSS_GAMMA,
+            alpha=cfg.MODEL.RETINANET.LOSS_ALPHA,
+            fg_iou_threshold=cfg.MODEL.RETINANET.FG_IOU_THRESHOLD,
+            bg_iou_threshold=cfg.MODEL.RETINANET.BG_IOU_THRESHOLD,
+            bbox_reg_beta=cfg.MODEL.RETINANET.BBOX_REG_BETA,
+            bbox_reg_weight=cfg.MODEL.RETINANET.BBOX_REG_WEIGHT,
+        )
+
+        def total_fn(out_dict):
+            losses = retinanet_loss(
+                out_dict, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                jnp.asarray(self.anchors_flat), self.level_counts, lc)
+            return losses["loss_retina_cls"] + losses["loss_retina_reg"]
+
+        grads = jax.grad(total_fn)(outputs)
+        np.testing.assert_allclose(
+            np.asarray(grads["cls_logits"]),
+            _flat_t(box_cls_t, self.NUM_CLASSES, grad=True),
+            rtol=1e-3, atol=1e-8, err_msg="d/d cls_logits")
+        np.testing.assert_allclose(
+            np.asarray(grads["box_regression"]),
+            _flat_t(box_reg_t, 4, grad=True),
+            rtol=1e-3, atol=1e-8, err_msg="d/d box_regression")
 
     def test_seed0(self):
         ref_losses, ref_labels, out, _ = self._run_case(30)
@@ -921,6 +1265,96 @@ class TestROIBoxLossParity(unittest.TestCase):
         ref_set = sorted(map(tuple, np.round(rois.numpy(), 3).tolist()))
         self.assertEqual(ours_set, ref_set)
         return (float(ref_cls), float(ref_reg)), out
+
+    def test_gradients(self):
+        """d(total)/d(shared head weights) vs reference autograd. The
+        two sides sample the same roi MULTISET in different order, so
+        per-roi gradients are not comparable — but the predictions are
+        linear in the rois through shared weights, and the weight
+        gradients sum over rois (order-invariant). Pins the
+        cross-entropy + sum-normalized smooth-L1 backward
+        (box_head/loss.py:130-165)."""
+        import torch
+
+        ref_torch.install_shims()
+        from paa_core.config import cfg as ref_cfg
+
+        if ref_cfg.is_frozen():
+            ref_cfg.defrost()
+        S = 128
+        ref_cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = S
+        ref_cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION = 1.0
+        rng = np.random.RandomState(55)
+
+        gt_boxes_np, gt_labels_np, _ = make_gts(
+            rng, 1, 4, include_tiny=False)
+        props = np.stack([
+            rng.uniform(0, IMG_W * 0.8, 64),
+            rng.uniform(0, IMG_H * 0.8, 64),
+            rng.uniform(8, IMG_W * 0.5, 64),
+            rng.uniform(8, IMG_H * 0.5, 64),
+        ], axis=1).astype(np.float32)
+        props[:, 2] = np.minimum(props[:, 0] + props[:, 2], IMG_W - 1)
+        props[:, 3] = np.minimum(props[:, 1] + props[:, 3], IMG_H - 1)
+        props_with_gt = np.concatenate([props, gt_boxes_np[0]], axis=0)
+        w_cls = rng.normal(0, 0.02, (4, self.NUM_CLASSES)).astype(
+            np.float32)
+        w_reg = rng.normal(0, 0.02, (4, 4 * self.NUM_CLASSES)).astype(
+            np.float32)
+
+        from paa_core.structures.bounding_box import BoxList
+        from paa_core.modeling.roi_heads.box_head.loss import (
+            make_roi_box_loss_evaluator)
+
+        targets, _ = make_ref_boxlists(
+            gt_boxes_np, gt_labels_np, [], IMG_W, IMG_H)
+        proposal_bl = BoxList(
+            torch.as_tensor(props_with_gt), (IMG_W, IMG_H), mode="xyxy")
+        evaluator = make_roi_box_loss_evaluator(ref_cfg)
+        w_cls_t = torch.as_tensor(w_cls).requires_grad_(True)
+        w_reg_t = torch.as_tensor(w_reg).requires_grad_(True)
+        with torch.no_grad():
+            sampled = evaluator.subsample([proposal_bl], targets)
+            rois = sampled[0].bbox
+        ref_cls, ref_reg = evaluator(
+            [rois @ w_cls_t], [rois @ w_reg_t])
+        (ref_cls + ref_reg).backward()
+
+        import jax
+        from paa_tpu.modeling.roi_box_head import (
+            ROIBoxConfig, roi_box_loss, subsample_proposals)
+
+        bc = ROIBoxConfig(
+            num_classes=self.NUM_CLASSES,
+            fg_iou_threshold=ref_cfg.MODEL.ROI_HEADS.FG_IOU_THRESHOLD,
+            bg_iou_threshold=ref_cfg.MODEL.ROI_HEADS.BG_IOU_THRESHOLD,
+            batch_size_per_image=S,
+            positive_fraction=1.0,
+        )
+        gt_boxes, gt_labels = pad_gts(gt_boxes_np, gt_labels_np, 1)
+        (rois_j, roi_labels, reg_targets, roi_valid, _i, _b) = (
+            subsample_proposals(
+                jnp.asarray(props), jnp.ones((len(props),), bool),
+                jnp.asarray(gt_boxes[0]), jnp.asarray(gt_labels[0]),
+                bc, jax.random.PRNGKey(0)))
+
+        def total_fn(ws):
+            cls_logits = rois_j @ ws[0]
+            box_deltas = (rois_j @ ws[1]).reshape(
+                -1, self.NUM_CLASSES, 4)
+            out = roi_box_loss(
+                cls_logits, box_deltas, roi_labels, reg_targets,
+                roi_valid)
+            return out["loss_classifier"] + out["loss_box_reg"]
+
+        g_cls, g_reg = jax.grad(total_fn)(
+            (jnp.asarray(w_cls), jnp.asarray(w_reg)))
+        np.testing.assert_allclose(
+            np.asarray(g_cls), w_cls_t.grad.numpy(),
+            rtol=1e-3, atol=1e-7, err_msg="d/d w_cls")
+        np.testing.assert_allclose(
+            np.asarray(g_reg), w_reg_t.grad.numpy(),
+            rtol=1e-3, atol=1e-7, err_msg="d/d w_reg")
 
     def test_seed0(self):
         (ref_cls, ref_reg), out = self._run_case(50)
