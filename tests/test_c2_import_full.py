@@ -158,17 +158,19 @@ class TestDcnv2ImportParity(unittest.TestCase):
     """Randomized reference PAA-dcnv2 (R-50-shaped) -> import -> same
     backbone features and head outputs."""
 
+    OPTS = _DCN_OPTS
+
     @classmethod
     def setUpClass(cls):
         import torch
 
         cls.torch = torch
         cls.ref_model, _ = ref_torch.build_reference_model(
-            "configs/paa/paa_R_50_FPN_1x.yaml", opts=_DCN_OPTS
+            "configs/paa/paa_R_50_FPN_1x.yaml", opts=cls.OPTS
         )
         cls.state = ref_torch.randomize_state_dict(cls.ref_model, seed=5)
         cls.flax_model, cls.variables = _flax_model(
-            "configs/paa/paa_R_50_FPN_1x.yaml", opts=_DCN_OPTS
+            "configs/paa/paa_R_50_FPN_1x.yaml", opts=cls.OPTS
         )
         rng = np.random.RandomState(9)
         cls.image = rng.normal(0.0, 1.0, (1, *HW, 3)).astype(np.float32)
@@ -233,3 +235,27 @@ class TestDcnv2ImportParity(unittest.TestCase):
             np.asarray(out["box_regression"]), ref_reg,
             atol=2e-4, rtol=1e-4,
         )
+
+
+@unittest.skipUnless(
+    ref_torch.reference_available(), "reference checkout not present"
+)
+class TestDcnv2ResNeXtImportParity(TestDcnv2ImportParity):
+    """North-star config 4 shape (paa_dcnv2_X_101_*): grouped
+    bottleneck convs (ResNeXt NUM_GROUPS/WIDTH_PER_GROUP,
+    resnet.py:98-101) combined with modulated DCN — pins the grouped
+    deform-kernel layout on import. R-50 depth keeps the CPU cost
+    sane; the group mechanics are identical at X-101 scale.
+
+    DEFORMABLE_GROUPS stays 1: the reference's own DFConv2d mis-splits
+    the offset/mask channels for dg > 1 (split at offset_base*2
+    regardless of dg, layers/misc.py:178-183 — no reference config
+    sets dg > 1, so the bug is latent upstream), which makes
+    parity-vs-reference unrunnable; our dg > 1 semantics are pinned
+    against the numpy transcription of the CUDA kernel in
+    tests/test_dcn.py instead."""
+
+    OPTS = _DCN_OPTS + [
+        "MODEL.RESNETS.NUM_GROUPS", "4",
+        "MODEL.RESNETS.WIDTH_PER_GROUP", "16",
+    ]

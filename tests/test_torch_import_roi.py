@@ -79,16 +79,18 @@ def _rois(seed, n=8):
     ref_torch.reference_available(), "reference checkout not present"
 )
 class TestMaskRCNNImportParity(unittest.TestCase):
+    CONFIG = "e2e_mask_rcnn_R_50_FPN_1x.yaml"
+
     @classmethod
     def setUpClass(cls):
         import torch
 
         cls.torch = torch
         cls.ref_model, _ = ref_torch.build_reference_model(
-            "configs/e2e_mask_rcnn_R_50_FPN_1x.yaml"
+            f"configs/{cls.CONFIG}"
         )
         cls.state = ref_torch.randomize_state_dict(cls.ref_model, seed=11)
-        cls.flax_model, cls.variables = _flax_two_stage()
+        cls.flax_model, cls.variables = _flax_two_stage(cls.CONFIG)
 
         from paa_tpu.utils.torch_import import load_torch_state_dict
 
@@ -114,13 +116,20 @@ class TestMaskRCNNImportParity(unittest.TestCase):
             two_stage_name_candidates,
         )
 
+        import re
+
+        # same pre-scan as load_torch_state_dict: the xconvs Sequential
+        # layout is ambiguous from a single key
+        xconv_gn = any(
+            re.search(r"\.xconvs\.1\.weight$", k) for k in self.state
+        )
         unmapped = []
         for k in self.state:
             if "anchor_generator" in k:
                 continue
             if (
                 torch_name_to_flax_path(k) is None
-                and not two_stage_name_candidates(k)
+                and not two_stage_name_candidates(k, xconv_gn)
             ):
                 unmapped.append(k)
         self.assertEqual(unmapped, [])
@@ -213,6 +222,20 @@ class TestMaskRCNNImportParity(unittest.TestCase):
         np.testing.assert_allclose(
             np.asarray(ours), ref, rtol=2e-4, atol=2e-4,
         )
+
+
+@unittest.skipUnless(
+    ref_torch.reference_available(), "reference checkout not present"
+)
+class TestMaskRCNNGNImportParity(TestMaskRCNNImportParity):
+    """Same proof on the GN baseline (gn_baselines/
+    e2e_mask_rcnn_R_50_FPN_Xconv1fc_1x_gn.yaml): GroupNorm stem +
+    bottlenecks (StemWithGN/BottleneckWithGN with STRIDE_IN_1X1
+    False), GN FPN (Sequential(conv, GN) -> fpn_inner1.0.weight
+    keys), the FPNXconv1fc box head with GN xconvs, and the GN mask
+    head — every GN key-mapping branch of the importer, numerically."""
+
+    CONFIG = "gn_baselines/e2e_mask_rcnn_R_50_FPN_Xconv1fc_1x_gn.yaml"
 
 
 @unittest.skipUnless(
