@@ -51,6 +51,9 @@ def main():
     cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256
     cfg.MODEL.PAA.INFERENCE_SCORE_VOTING = True
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    # opt-in: BENCH_FUSED_GN=1 measures the one-pass GN+ReLU Pallas
+    # kernel (ops/fused_gn.py) for the A/B before flipping the default
+    cfg.TPU.FUSED_GN = os.environ.get("BENCH_FUSED_GN", "0") == "1"
     cfg.freeze()
 
     model = build_detection_model(cfg)

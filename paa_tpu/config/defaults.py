@@ -361,6 +361,12 @@ _C.TPU.NMS_IMPL = "auto"
 # 800x1344 (the isolated stem conv is 2x faster, but the input
 # transpose eats the gain); kept as an option for other shapes/chips
 _C.TPU.SPACE_TO_DEPTH = False
+
+# Fuse GroupNorm + ReLU in the head towers into one Pallas kernel
+# (single HBM pass; ops/fused_gn.py). Numerically equivalent to the
+# flax GroupNorm path (same f32 statistics); off by default until
+# measured faster on the target chip generation.
+_C.TPU.FUSED_GN = False
 # jax.profiler trace capture: when PROFILE_DIR is set, do_train records
 # a trace of steps [PROFILE_START, PROFILE_START + PROFILE_STEPS)
 _C.TPU.PROFILE_DIR = ""

@@ -31,6 +31,7 @@ class ATSSHead(nn.Module):
     # (atss/ret_R_50_FPN_1.5x.yaml sets USE_CENTERNESS_PRED and
     # USE_IOU_PRED both False)
     use_branch: bool = True
+    fused_gn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -38,13 +39,13 @@ class ATSSHead(nn.Module):
         assert len(features) == self.num_levels
         cls_tower = ConvTower(
             self.in_channels, self.num_convs,
-            use_dcn_last=self.use_dcn_in_tower, dtype=self.dtype,
-            name="cls_tower",
+            use_dcn_last=self.use_dcn_in_tower, fused_gn=self.fused_gn,
+            dtype=self.dtype, name="cls_tower",
         )
         bbox_tower = ConvTower(
             self.in_channels, self.num_convs,
-            use_dcn_last=self.use_dcn_in_tower, dtype=self.dtype,
-            name="bbox_tower",
+            use_dcn_last=self.use_dcn_in_tower, fused_gn=self.fused_gn,
+            dtype=self.dtype, name="bbox_tower",
         )
         bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
         cls_logits = conv(
@@ -120,5 +121,6 @@ def atss_head_from_cfg(cfg, dtype=jnp.float32):
             cfg.MODEL.ATSS.USE_CENTERNESS_PRED
             or cfg.MODEL.ATSS.USE_IOU_PRED
         ),
+        fused_gn=cfg.TPU.FUSED_GN,
         dtype=dtype,
     )

@@ -60,6 +60,7 @@ class FCOSHead(nn.Module):
     prior_prob: float = 0.01
     norm_reg_targets: bool = False
     centerness_on_reg: bool = False
+    fused_gn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -67,13 +68,13 @@ class FCOSHead(nn.Module):
         assert len(features) == self.num_levels
         cls_tower = ConvTower(
             self.in_channels, self.num_convs,
-            use_dcn_last=self.use_dcn_in_tower, dtype=self.dtype,
-            name="cls_tower",
+            use_dcn_last=self.use_dcn_in_tower, fused_gn=self.fused_gn,
+            dtype=self.dtype, name="cls_tower",
         )
         bbox_tower = ConvTower(
             self.in_channels, self.num_convs,
-            use_dcn_last=self.use_dcn_in_tower, dtype=self.dtype,
-            name="bbox_tower",
+            use_dcn_last=self.use_dcn_in_tower, fused_gn=self.fused_gn,
+            dtype=self.dtype, name="bbox_tower",
         )
         bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
         cls_logits = conv(
@@ -127,5 +128,6 @@ def fcos_head_from_cfg(cfg, dtype=jnp.float32):
         prior_prob=cfg.MODEL.FCOS.PRIOR_PROB,
         norm_reg_targets=cfg.MODEL.FCOS.NORM_REG_TARGETS,
         centerness_on_reg=cfg.MODEL.FCOS.CENTERNESS_ON_REG,
+        fused_gn=cfg.TPU.FUSED_GN,
         dtype=dtype,
     )

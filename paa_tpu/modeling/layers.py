@@ -122,19 +122,51 @@ def conv(
     )
 
 
+class _GNAffine(nn.Module):
+    """Bare GroupNorm affine params (scale, bias) under the same child
+    scope/naming as nn.GroupNorm, for the fused kernel path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm with the reference's defaults (32 groups, eps 1e-5;
-    make_layers.py group_norm)."""
+    make_layers.py group_norm).
+
+    ``fused_relu=True`` computes GroupNorm + ReLU in one HBM pass via
+    the Pallas kernel (ops/fused_gn.py) — the caller must then NOT
+    apply a separate relu. The parameter tree (gn/scale, gn/bias) is
+    identical in both modes, so checkpoints and the torch importer are
+    oblivious to the flag."""
 
     features: int
     num_groups: int = 32
     epsilon: float = 1e-5
+    fused_relu: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.epsilon, name="gn"
-        )(x)
+        if not self.fused_relu:
+            return nn.GroupNorm(
+                num_groups=self.num_groups, epsilon=self.epsilon,
+                name="gn",
+            )(x)
+        from ..ops.fused_gn import fused_group_norm_relu
+
+        scale, bias = _GNAffine(self.features, name="gn")()
+        return fused_group_norm_relu(
+            x, scale, bias, self.num_groups, self.epsilon, True
+        )
 
 
 class Scale(nn.Module):

@@ -29,6 +29,7 @@ class ConvTower(nn.Module):
     channels: int
     num_convs: int = 4
     use_dcn_last: bool = False
+    fused_gn: bool = False  # TPU.FUSED_GN: one-pass GN+ReLU kernel
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -48,8 +49,11 @@ class ConvTower(nn.Module):
                     kernel_init=head_normal_init, dtype=self.dtype,
                     name=f"conv{i}",
                 )(x)
-            x = GroupNorm32(self.channels, name=f"gn{i}")(x)
-            x = nn.relu(x)
+            x = GroupNorm32(
+                self.channels, fused_relu=self.fused_gn, name=f"gn{i}"
+            )(x)
+            if not self.fused_gn:
+                x = nn.relu(x)
         return x
 
 
@@ -62,6 +66,7 @@ class PAAHead(nn.Module):
     use_iou_pred: bool = True
     use_dcn_in_tower: bool = False
     prior_prob: float = 0.01
+    fused_gn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -69,13 +74,13 @@ class PAAHead(nn.Module):
         assert len(features) == self.num_levels
         cls_tower = ConvTower(
             self.in_channels, self.num_convs,
-            use_dcn_last=self.use_dcn_in_tower, dtype=self.dtype,
-            name="cls_tower",
+            use_dcn_last=self.use_dcn_in_tower, fused_gn=self.fused_gn,
+            dtype=self.dtype, name="cls_tower",
         )
         bbox_tower = ConvTower(
             self.in_channels, self.num_convs,
-            use_dcn_last=self.use_dcn_in_tower, dtype=self.dtype,
-            name="bbox_tower",
+            use_dcn_last=self.use_dcn_in_tower, fused_gn=self.fused_gn,
+            dtype=self.dtype, name="bbox_tower",
         )
         bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
         cls_logits = conv(
@@ -136,5 +141,6 @@ def paa_head_from_cfg(cfg, dtype=jnp.float32):
         use_iou_pred=cfg.MODEL.PAA.USE_IOU_PRED,
         use_dcn_in_tower=cfg.MODEL.PAA.USE_DCN_IN_TOWER,
         prior_prob=cfg.MODEL.PAA.PRIOR_PROB,
+        fused_gn=cfg.TPU.FUSED_GN,
         dtype=dtype,
     )
