@@ -217,3 +217,145 @@ class TestFullModelGradParity(unittest.TestCase):
             elif not frozen_ref and err > 2e-3 * scale + quant:
                 step_failures.append((name, float(err / scale)))
         self.assertEqual(step_failures, [])
+
+
+class _DenseGradParityBase:
+    """Generic full-model gradient parity for the other dense heads:
+    same recipe as the PAA test, driven through the model-agnostic
+    loss_fn()/anchors_for() surface."""
+
+    REF_CONFIG: str
+    HW = (96, 128)
+    # cfg group holding LOSS_GAMMA/LOSS_ALPHA for the CPU focal shim
+    CFG_GROUP: str
+
+    @classmethod
+    def setUpClass(cls):
+        import torch
+
+        cls.torch = torch
+        cls.ref_model, cls.ref_cfg = ref_torch.build_reference_model(
+            cls.REF_CONFIG)
+        group = getattr(cls.ref_cfg.MODEL, cls.CFG_GROUP)
+        ev = cls.ref_model.rpn.loss_evaluator
+        ev.cls_loss_func.gamma = [group.LOSS_GAMMA]
+        ev.cls_loss_func.alpha = [group.LOSS_ALPHA]
+        cls.state = ref_torch.randomize_state_dict(cls.ref_model, seed=4)
+
+        from paa_tpu.config import get_cfg
+        from paa_tpu.modeling import build_detection_model
+        from paa_tpu.utils.torch_import import load_torch_state_dict
+
+        cfg = get_cfg()
+        cfg.merge_from_file(f"/root/reference/{cls.REF_CONFIG}")
+        cfg.MODEL.WEIGHT = ""
+        cls.cfg = cfg
+        cls.flax_model = build_detection_model(cfg)
+        variables = cls.flax_model.init(jax.random.PRNGKey(0), cls.HW)
+        cls.params = load_torch_state_dict(variables["params"], cls.state)
+
+        rng = np.random.RandomState(23)
+        h, w = cls.HW
+        cls.image = rng.normal(0.0, 1.0, (1, h, w, 3)).astype(np.float32)
+        cls.gt_boxes = np.asarray(
+            [[[0.1 * w, 0.1 * h, 0.6 * w, 0.5 * h],
+              [0.4 * w, 0.3 * h, 0.9 * w, 0.8 * h]]], np.float32)
+        cls.gt_labels = np.asarray([[3, 7]], np.int32)
+
+    def test_losses_and_param_grads_match(self):
+        torch = self.torch
+        from paa_core.structures.bounding_box import BoxList
+        from paa_core.structures.image_list import to_image_list
+
+        h, w = self.HW
+        self.ref_model.train()
+        x = torch.as_tensor(np.transpose(self.image, (0, 3, 1, 2)))
+        images = to_image_list([x[0]], 32)
+        target = BoxList(
+            torch.as_tensor(self.gt_boxes[0]), (w, h), mode="xyxy")
+        target.add_field("labels", torch.as_tensor(
+            self.gt_labels[0].astype(np.int64)))
+        self.ref_model.zero_grad()
+        ref_losses = self.ref_model(images, [target])
+        ref_total = sum(ref_losses.values())
+        ref_total.backward()
+
+        anchors, counts = self.flax_model.anchors_for(self.HW)
+        loss_call, loss_cfg = self.flax_model.loss_fn()
+        gtb = jnp.asarray(self.gt_boxes)
+        gtl = jnp.asarray(self.gt_labels)
+        anchors_j = jnp.asarray(anchors)
+        img = jnp.asarray(self.image)
+        module = self.flax_model.module
+
+        def total_fn(params):
+            out = module.apply({"params": params}, img)
+            losses = loss_call(
+                out, gtb, gtl, anchors_j, counts, loss_cfg)
+            # keep loss terms only (the dicts also carry metrics
+            # such as num_pos)
+            losses = {
+                k: v for k, v in losses.items() if k.startswith("loss")
+            }
+            return sum(losses.values()), losses
+
+        (our_total, our_losses), grads = jax.value_and_grad(
+            total_fn, has_aux=True)(self.params)
+
+        # component sets differ in naming across heads: compare the
+        # sorted loss values, then the total
+        np.testing.assert_allclose(
+            sorted(float(v) for v in our_losses.values()),
+            sorted(float(v.detach()) for v in ref_losses.values()),
+            rtol=2e-4)
+
+        from paa_tpu.utils.torch_import import (
+            _apply_transform,
+            torch_name_to_flax_path,
+        )
+
+        checked, failures, unmapped = 0, [], []
+        for name, p in self.ref_model.named_parameters():
+            if p.grad is None:
+                continue
+            mapping = torch_name_to_flax_path(name)
+            if mapping is None:
+                unmapped.append(name)
+                continue
+            path, kind = mapping
+            node = grads
+            for k in path:
+                node = node[k]
+            ref_g = _apply_transform(p.grad.detach().numpy(), kind, 7)
+            ours_g = np.asarray(node, np.float64)
+            ref_g = np.asarray(ref_g, np.float64)
+            scale = max(
+                np.abs(ref_g).max(), np.abs(ours_g).max(), 1e-12)
+            err = np.abs(ours_g - ref_g).max() / scale
+            checked += 1
+            if err > 2e-3:
+                failures.append((name, float(err)))
+        self.assertEqual(unmapped, [])
+        self.assertGreaterEqual(checked, 100)
+        self.assertEqual(failures, [])
+
+
+@unittest.skipUnless(
+    ref_torch.reference_available(), "reference checkout not present"
+)
+class TestATSSFullModelGradParity(_DenseGradParityBase,
+                                  unittest.TestCase):
+    # ATSS's per-level topk(9) needs >= 9 anchors on EVERY level
+    # (atss/loss.py:155): 384x512 gives 12 on the stride-128 level
+    REF_CONFIG = "configs/atss/atss_R_50_FPN_1x.yaml"
+    CFG_GROUP = "ATSS"
+    HW = (384, 512)
+
+
+@unittest.skipUnless(
+    ref_torch.reference_available(), "reference checkout not present"
+)
+class TestFCOSFullModelGradParity(_DenseGradParityBase,
+                                  unittest.TestCase):
+    REF_CONFIG = "configs/fcos/fcos_R_50_FPN_1x.yaml"
+    CFG_GROUP = "FCOS"
