@@ -131,14 +131,49 @@ def install_shims() -> None:
                 np.asarray(out).transpose(0, 3, 1, 2)
             ).to(inp.dtype)
 
+        def _roi_align_backward(grad, rois, spatial_scale, pooled_h,
+                                pooled_w, bs, ch, h, w, sampling_ratio):
+            """Gradient of ROIAlign w.r.t. the input feature map via
+            jax.vjp of our kernel (layers/roi_align.py:26-44 calls this
+            for the backbone gradients of the two-stage train path)."""
+            import jax
+            import jax.numpy as jnp
+            import torch
+
+            from paa_tpu.ops.roi_align import roi_align as jax_roi_align
+
+            r = rois.detach().numpy()
+            boxes = jnp.asarray(r[:, 1:5])
+            bidx = jnp.asarray(r[:, 0].astype(np.int32))
+
+            def f(x_nhwc):
+                return jax_roi_align(
+                    x_nhwc, boxes, bidx,
+                    (int(pooled_h), int(pooled_w)),
+                    float(spatial_scale), int(sampling_ratio),
+                )
+
+            zero = jnp.zeros((int(bs), int(h), int(w), int(ch)),
+                             jnp.float32)
+            _, vjp = jax.vjp(f, zero)
+            g = jnp.asarray(
+                grad.detach().numpy().transpose(0, 2, 3, 1)
+            )
+            (gx,) = vjp(g)
+            return torch.as_tensor(
+                np.asarray(gx).transpose(0, 3, 1, 2)
+            ).to(grad.dtype)
+
         class _CStub(types.ModuleType):
             """Raises on CUDA-only ops; provides real python nms/ml_nms
-            (and a JAX-backed roi_align_forward) so the reference
-            post-processing and ROI heads run on CPU."""
+            (and a JAX-backed roi_align forward/backward) so the
+            reference post-processing and ROI heads run on CPU,
+            including the two-stage train path's backbone gradients."""
 
             nms = staticmethod(_py_nms)
             ml_nms = staticmethod(_py_ml_nms)
             roi_align_forward = staticmethod(_roi_align_forward)
+            roi_align_backward = staticmethod(_roi_align_backward)
 
             def __getattr__(self, name):
                 if name.startswith("__"):

@@ -359,3 +359,148 @@ class TestFCOSFullModelGradParity(_DenseGradParityBase,
                                   unittest.TestCase):
     REF_CONFIG = "configs/fcos/fcos_R_50_FPN_1x.yaml"
     CFG_GROUP = "FCOS"
+
+
+@unittest.skipUnless(
+    ref_torch.reference_available(), "reference checkout not present"
+)
+class TestFasterRCNNFullModelGradParity(unittest.TestCase):
+    """TWO-STAGE full-model gradient parity (Faster R-CNN R-50 FPN).
+
+    The samplers are forced to keep everything (BATCH_SIZE >= all
+    candidates, POSITIVE_FRACTION 1.0) so both sides' random subsampling
+    is the identity, and batch size is 1 so the reference's PER-BATCH
+    train-time FPN post-NMS selection (rpn/inference.py:152-170)
+    coincides with our per-image one. The proposal MULTISETS must then
+    match exactly (same pre-NMS top-k, same greedy NMS, same add-GT),
+    making every loss value and every parameter gradient comparable —
+    per-roi ordering differs, but head/backbone weight gradients sum
+    over rois. This certifies the full two-stage train pipeline: RPN
+    head + loss, train-time proposal selection, ROI sampling, box head
+    and loss, and the shared backbone gradients through BOTH stages."""
+
+    HW = (96, 128)
+    OPTS = [
+        "MODEL.RPN.BATCH_SIZE_PER_IMAGE", "2048",
+        "MODEL.RPN.POSITIVE_FRACTION", "1.0",
+        "MODEL.RPN.PRE_NMS_TOP_N_TRAIN", "300",
+        "MODEL.RPN.FPN_POST_NMS_TOP_N_TRAIN", "128",
+        "MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", "512",
+        "MODEL.ROI_HEADS.POSITIVE_FRACTION", "1.0",
+    ]
+
+    @classmethod
+    def setUpClass(cls):
+        import torch
+
+        cls.torch = torch
+        cls.ref_model, cls.ref_cfg = ref_torch.build_reference_model(
+            "configs/e2e_faster_rcnn_R_50_FPN_1x.yaml", opts=cls.OPTS)
+        cls.state = ref_torch.randomize_state_dict(cls.ref_model, seed=8)
+
+        from paa_tpu.config import get_cfg
+        from paa_tpu.modeling import build_detection_model
+        from paa_tpu.utils.torch_import import load_torch_state_dict
+
+        cfg = get_cfg()
+        cfg.merge_from_file(
+            "/root/reference/configs/e2e_faster_rcnn_R_50_FPN_1x.yaml")
+        cfg.merge_from_list(list(cls.OPTS))
+        cfg.MODEL.WEIGHT = ""
+        cls.cfg = cfg
+        cls.flax_model = build_detection_model(cfg)
+        variables = cls.flax_model.init(jax.random.PRNGKey(0), cls.HW)
+        cls.variables = dict(variables)
+        cls.params = load_torch_state_dict(variables["params"], cls.state)
+
+        rng = np.random.RandomState(31)
+        h, w = cls.HW
+        cls.image = rng.normal(0.0, 1.0, (1, h, w, 3)).astype(np.float32)
+        cls.gt_boxes = np.asarray(
+            [[[10.0, 12.0, 70.0, 60.0], [50.0, 30.0, 120.0, 90.0]]],
+            np.float32)
+        cls.gt_labels = np.asarray([[3, 7]], np.int32)
+
+    def test_losses_and_param_grads_match(self):
+        torch = self.torch
+        from paa_core.structures.bounding_box import BoxList
+        from paa_core.structures.image_list import to_image_list
+
+        h, w = self.HW
+        self.ref_model.train()
+        x = torch.as_tensor(np.transpose(self.image, (0, 3, 1, 2)))
+        images = to_image_list([x[0]], 32)
+        target = BoxList(
+            torch.as_tensor(self.gt_boxes[0]), (w, h), mode="xyxy")
+        target.add_field("labels", torch.as_tensor(
+            self.gt_labels[0].astype(np.int64)))
+        self.ref_model.zero_grad()
+        ref_losses = self.ref_model(images, [target])
+        sum(ref_losses.values()).backward()
+
+        from paa_tpu.modeling.two_stage import (
+            faster_rcnn_train_step_fns,
+        )
+
+        loss_fn = faster_rcnn_train_step_fns(self.flax_model, self.HW)
+        img = jnp.asarray(self.image)
+        gtb = jnp.asarray(self.gt_boxes)
+        gtl = jnp.asarray(self.gt_labels)
+        sizes = jnp.asarray([[float(h), float(w)]], jnp.float32)
+        rng = jax.random.PRNGKey(0)
+
+        def total_fn(params):
+            variables = dict(self.variables)
+            variables["params"] = params
+            losses = loss_fn(variables, img, gtb, gtl, sizes, rng)
+            losses = {
+                k: v for k, v in losses.items() if k.startswith("loss")
+            }
+            return sum(losses.values()), losses
+
+        (_, our_losses), grads = jax.value_and_grad(
+            total_fn, has_aux=True)(self.params)
+        grads = grads if "params" not in grads else grads["params"]
+
+        np.testing.assert_allclose(
+            sorted(float(v) for v in our_losses.values()),
+            sorted(float(v.detach()) for v in ref_losses.values()),
+            rtol=3e-4)
+
+        from paa_tpu.utils.torch_import import (
+            _apply_transform,
+            _flax_candidates_for_torch_name,
+        )
+
+        checked, failures, unmapped = 0, [], []
+        for name, p in self.ref_model.named_parameters():
+            if p.grad is None:
+                continue
+            cands = _flax_candidates_for_torch_name(name)
+            node = None
+            for path, kind in cands:
+                try:
+                    node = grads
+                    for k in path:
+                        node = node[k]
+                    break
+                except KeyError:
+                    node = None
+            if node is None:
+                unmapped.append(name)
+                continue
+            ref_g = _apply_transform(
+                p.grad.detach().numpy(), kind,
+                self.cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION)
+            ours_g = np.asarray(node, np.float64)
+            ref_g = np.asarray(ref_g, np.float64)
+            scale = max(np.abs(ref_g).max(), np.abs(ours_g).max(), 1e-12)
+            err = np.abs(ours_g - ref_g).max() / scale
+            checked += 1
+            if err > 3e-3:
+                failures.append((name, float(err)))
+        self.assertEqual(unmapped, [])
+        # R-50 FPN Faster R-CNN: backbone layers2-4 + FPN + RPN head +
+        # fc6/fc7 + predictors all carry grads
+        self.assertGreaterEqual(checked, 60)
+        self.assertEqual(failures, [])
