@@ -364,8 +364,9 @@ _C.TPU.SPACE_TO_DEPTH = False
 
 # Fuse GroupNorm + ReLU in the head towers into one Pallas kernel
 # (single HBM pass; ops/fused_gn.py). Numerically equivalent to the
-# flax GroupNorm path (same f32 statistics); off by default until
-# measured faster on the target chip generation.
+# flax GroupNorm path (same f32 statistics). Measured SLOWER on v5e
+# (266.3 -> 221.7 img/s e2e; see PERF.md) — XLA's fused GN lowering
+# wins there; kept for chip generations where the trade flips.
 _C.TPU.FUSED_GN = False
 # jax.profiler trace capture: when PROFILE_DIR is set, do_train records
 # a trace of steps [PROFILE_START, PROFILE_START + PROFILE_STEPS)
