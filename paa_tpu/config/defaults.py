@@ -354,6 +354,14 @@ _C.TPU.SEED = 0
 # NMS implementation: 'auto' picks Pallas on TPU / scan elsewhere at
 # trace time; pin 'pallas' or 'scan' for AOT cross-platform tracing
 _C.TPU.NMS_IMPL = "auto"
+# Deformable-conv sampling lowering (ops/dcn.py): 'gather' = bilinear
+# quad-gather im2col (exact, bound by XLA's TPU gather emitter);
+# 'onehot' = windowed one-hot matmul on the MXU (no gathers; exact
+# while offsets stay within the window margin); 'auto' = onehot with a
+# runtime lax.cond fallback to gather whenever any active sample
+# escapes its window, so it is exact for arbitrary offsets like the
+# reference CUDA kernel (csrc/cuda/deform_conv_kernel_cuda.cu)
+_C.TPU.DCN_MODE = "auto"
 # exact space-to-depth stem: replace the 7x7/2 conv on the 3-channel
 # image with the equivalent 4x4/1 conv on the 2x2-space-to-depth input
 # (weight import transforms the kernel). Off by default: in the full

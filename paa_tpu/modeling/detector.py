@@ -237,8 +237,10 @@ def build_detection_model(cfg, dtype=None) -> DetectionModel:
     if dtype is None:
         dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
     from ..ops.nms import set_nms_impl
+    from ..ops.dcn import set_default_dcn_mode
 
     set_nms_impl(cfg.TPU.NMS_IMPL)
+    set_default_dcn_mode(cfg.TPU.DCN_MODE)
     dense = (
         cfg.MODEL.PAA_ON or cfg.MODEL.ATSS_ON or cfg.MODEL.FCOS_ON
         or cfg.MODEL.RETINANET_ON

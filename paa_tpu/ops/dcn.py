@@ -2,13 +2,33 @@
 
 Replaces the reference CUDA kernels (paa_core/csrc/cuda/deform_conv_cuda.cu,
 deform_conv_kernel_cuda.cu: im2col-with-offsets + GEMM, modulation mask for
-v2) with a TPU-native formulation: the offset/mask branch is a regular
+v2) with TPU-native formulations. The offset/mask branch is a regular
 zero-initialized conv (like DFConv2d, paa_core/layers/misc.py:113-185);
-sampling is expressed as batched bilinear gathers building an
-im2col tensor (B, Ho, Wo, K*C) which contracts against the (K*C, O)
-weight on the MXU in one matmul. Autodiff gives the backward-input /
-backward-offset / backward-weight passes for free (the CUDA kernels'
-hand-written backprop).
+the deformable sampling has two interchangeable lowerings:
+
+1. ``gather`` — batched bilinear quad-gathers building an im2col tensor
+   (B, Ho, Wo, K*C) contracted against the (K*C, O) weight on the MXU.
+   Exact for arbitrary offsets, but bound by XLA's TPU gather emitter
+   (~45 GB/s effective; see PERF.md): every sample re-reads its 4
+   bilinear corners from HBM, a 36x read amplification over the feature
+   map itself.
+
+2. ``onehot`` — a windowed one-hot matmul that never gathers: the output
+   grid is tiled; for each tile a small static window of the padded
+   input is sliced out, and the bilinear sampling becomes a sparse
+   interpolation matrix (4 weighted nonzeros per sample row, built with
+   vectorized iota-compares) contracted against the window on the MXU.
+   Exact whenever every active sample's corners stay inside its tile
+   window (margin ``window_margin`` pixels beyond the static receptive
+   field); trained DCN offsets are small, so this is the common case.
+
+``auto`` computes the exact escape predicate and ``lax.cond``-selects:
+onehot when no active sample escapes its window, gather otherwise — so
+``auto`` is exact for arbitrary offsets like the CUDA kernels while
+running at one-hot speed on realistic offset magnitudes. Autodiff gives
+the backward-input / backward-offset / backward-weight passes for free
+in both lowerings (the CUDA kernels' hand-written backprop); the onehot
+backward is itself matmuls (no scatter).
 
 Offset channel layout matches torch deform_conv2d: per deformable group,
 per kernel position (row-major), a (dy, dx) pair; the modulation mask
@@ -18,50 +38,48 @@ offsets then mask and applies sigmoid to the mask slice).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ..modeling.layers import conv as regular_conv
 from ..modeling.layers import kaiming_uniform_a1
 
+# Process-wide default sampling mode, set from cfg.TPU.DCN_MODE by
+# build_detection_model. Per-call ``mode=`` overrides.
+_DEFAULT_MODE = "auto"
 
-def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
-                  dilation=1, groups=1, deformable_groups=1):
-    """Functional modulated deformable conv.
 
-    Sampling strategy ("quad gather"): the four bilinear corners of one
-    sample are a 2x2 pixel patch, so a patch tensor over the
-    zero-extended grid — q[y, x] = concat of x at (y-1..y, x-1..x) with
-    zeros outside — turns each sample into ONE row gather of 4C channels
-    instead of four C-channel gathers. One `take_along_axis` per
-    deformable group fetches all K*Ho*Wo samples; corner weights (with
-    the CUDA kernel's (-1, H)x(-1, W) center gate,
-    deform_conv_kernel_cuda.cu:236-245) and the v2 modulation mask fold
-    into a single per-sample 4-vector contraction before the MXU matmul.
-    Compared to per-corner gathers this cuts the HLO to one gather op
-    per dg (36x fewer — full dcnv2 backbones compile in minutes, not
-    hours) at equal-or-better runtime; XLA's TPU gather is the
-    bandwidth bound either way (see PERF.md).
+def set_default_dcn_mode(mode: str) -> None:
+    global _DEFAULT_MODE
+    if mode not in ("auto", "gather", "onehot"):
+        raise ValueError(f"unknown DCN mode {mode!r}")
+    _DEFAULT_MODE = mode
 
-    Args:
-        x: (B, H, W, C)
-        offsets: (B, Ho, Wo, dg*K*2) as (dy, dx) pairs
-        mask: (B, Ho, Wo, dg*K) already sigmoided, or None (v1)
-        weights: (kh, kw, C/groups, O) HWIO
-    Returns (B, Ho, Wo, O).
+
+def _geometry(x, offsets, mask, kh, kw, s, p, d, dg):
+    """Shared sample geometry.
+
+    Returns corner indices in the 1-padded frame and folded corner
+    weights:
+      y0p, x0p: (B, Ho, Wo, dg, K) int32 — top-left corner of each
+        sample's 2x2 patch, in padded coordinates (so 0 is the zero
+        row/col left of the image); bottom-right corner is (+1, +1).
+      cw: (B, Ho, Wo, dg, K, 4) f32 — bilinear corner weights with the
+        CUDA center gate (zero unless the point lies strictly inside
+        (-1, H) x (-1, W), deform_conv_kernel_cuda.cu:236-245) and the
+        v2 modulation mask folded in, corner order
+        (tl, tr, bl, br).
+    Per-corner zeroing outside the image (deformable_im2col_bilinear,
+    deform_conv_kernel_cuda.cu:93-124) is realized by the zero padding:
+    clipped corner indices land on the padded zero ring.
     """
     b, h, w, c = x.shape
-    kh, kw, cin_g, o = weights.shape
     k = kh * kw
-    s, p, d = strides, padding, dilation
     ho = (h + 2 * p - d * (kh - 1) - 1) // s + 1
     wo = (w + 2 * p - d * (kw - 1) - 1) // s + 1
-    dg = deformable_groups
-    cg = c // dg
     f32 = jnp.float32
 
     # sample coordinates (B, Ho, Wo, dg, K); coordinate math in f32 —
@@ -82,9 +100,8 @@ def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
     # the CUDA center gate: whole sample is zero unless the point lies
     # strictly inside (-1, H) x (-1, W)
     gate = ((ys > -1) & (ys < h) & (xs > -1) & (xs < w)).astype(f32)
-    y0i = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
-    x0i = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
-    flat = y0i * (w + 1) + x0i  # rows of the (H+1)*(W+1) patch grid
+    y0p = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
+    x0p = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
 
     cw = jnp.stack(
         [(1 - wy) * (1 - wx), (1 - wy) * wx, wy * (1 - wx), wy * wx],
@@ -92,7 +109,55 @@ def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
     ) * gate[..., None]  # (B, Ho, Wo, dg, K, 4)
     if mask is not None:
         cw = cw * mask.astype(f32).reshape(b, ho, wo, dg, k)[..., None]
-    cw = cw.astype(x.dtype)
+    return y0p, x0p, cw
+
+
+def _contract_weights(col, weights, groups):
+    """(B, Ho, Wo, K, C) im2col columns x (kh, kw, C/groups, O) HWIO
+    weights -> (B, Ho, Wo, O): the GEMM the reference host code runs on
+    the columns (deform_conv_cuda.cu: weight.view(g, O/g, C/g*k) @
+    col.view(g, C/g*k, hw))."""
+    k = weights.shape[0] * weights.shape[1]
+    cin_g, o = weights.shape[2], weights.shape[3]
+    if groups == 1:
+        return jnp.einsum(
+            "bhwkc,kco->bhwo",
+            col,
+            weights.reshape(k, cin_g, o),
+            preferred_element_type=jnp.float32,
+        )
+    # grouped: one batched matmul with the group as a batch dim (a
+    # Python loop of per-group einsums would emit `groups` HLOs — 64
+    # per layer for X-101-64x4d)
+    og = o // groups
+    b, ho, wo = col.shape[:3]
+    col_g = col.reshape(b, ho, wo, k, groups, cin_g)
+    # HWIO grouped weights carry per-group cin (dim 2) and the FULL
+    # output dim split group-major along O (group g owns outputs
+    # g*og:(g+1)*og)
+    w_g = weights.reshape(k, cin_g, groups, og)
+    out = jnp.einsum(
+        "bhwkgc,kcgo->bhwgo",
+        col_g,
+        w_g,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, ho, wo, o)
+
+
+def _gather_cols(x, y0p, x0p, cw, dg):
+    """Quad-gather im2col: the four bilinear corners of one sample are a
+    2x2 pixel patch, so a patch tensor over the zero-extended grid —
+    q[y, x] = concat of x at (y-1..y, x-1..x) with zeros outside — turns
+    each sample into ONE row gather of 4C channels instead of four
+    C-channel gathers (36x smaller HLO than per-corner gathers; full
+    dcnv2 backbones compile in minutes, not hours). XLA's TPU gather is
+    the bandwidth bound either way (see PERF.md)."""
+    b, h, w, c = x.shape
+    ho, wo, _, k = y0p.shape[1:5]
+    cg = c // dg
+    flat = y0p * (w + 1) + x0p  # rows of the (H+1)*(W+1) patch grid
+    cwx = cw.astype(x.dtype)
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     col_groups = []
@@ -107,40 +172,198 @@ def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
         gq = jnp.take_along_axis(q, fg[:, :, None], axis=1)
         gq = gq.reshape(b, ho, wo, k, 4, cg)
         col_groups.append(
-            jnp.einsum("bhwkqc,bhwkq->bhwkc", gq, cw[:, :, :, g])
+            jnp.einsum("bhwkqc,bhwkq->bhwkc", gq, cwx[:, :, :, g])
         )
-    col = (
+    return (
         col_groups[0] if dg == 1
         else jnp.concatenate(col_groups, axis=-1)
     )  # (B, Ho, Wo, K, C)
 
-    if groups == 1:
-        out = jnp.einsum(
-            "bhwkc,kco->bhwo",
-            col,
-            weights.reshape(k, cin_g, o),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        og = o // groups
-        w_k = weights.reshape(k, cin_g, o)
-        outs = []
-        for g in range(groups):
-            outs.append(
-                jnp.einsum(
-                    "bhwkc,kco->bhwo",
-                    col[..., g * cin_g:(g + 1) * cin_g],
-                    w_k[:, :, g * og:(g + 1) * og],
-                    preferred_element_type=jnp.float32,
-                )
+
+def _onehot_plan(h, w, ho, wo, kh, kw, s, d, p, tile, margin):
+    """Static tiling plan for the windowed one-hot path.
+
+    Output grid tiled (th, tw); each tile samples from a
+    (hw_win, ww_win) window of the 1-padded input whose start rows/cols
+    (wsy/wsx, python ints -> static slices) cover the tile's static
+    receptive field plus ``margin`` pixels of offset headroom each side.
+    """
+    th = min(tile[0], ho)
+    tw = min(tile[1], wo)
+    ti = -(-ho // th)
+    tj = -(-wo // tw)
+    hw_win = min((th - 1) * s + (kh - 1) * d + 2 + 2 * margin, h + 2)
+    ww_win = min((tw - 1) * s + (kw - 1) * d + 2 + 2 * margin, w + 2)
+    wsy = [
+        min(max(i * th * s - p + 1 - margin, 0), h + 2 - hw_win)
+        for i in range(ti)
+    ]
+    wsx = [
+        min(max(j * tw * s - p + 1 - margin, 0), w + 2 - ww_win)
+        for j in range(tj)
+    ]
+    return th, tw, ti, tj, hw_win, ww_win, wsy, wsx
+
+
+def _tile_samples(t, th, tw, ti, tj):
+    """(B, Ho, Wo, ...) -> (B, Ti, Tj, Th, Tw, ...): pad the output grid
+    to tile multiples (padded samples carry zero weight) and regroup."""
+    b, ho, wo = t.shape[:3]
+    rest = t.shape[3:]
+    pad = [(0, 0), (0, ti * th - ho), (0, tj * tw - wo)] + [
+        (0, 0)
+    ] * len(rest)
+    t = jnp.pad(t, pad)
+    t = t.reshape((b, ti, th, tj, tw) + rest)
+    return jnp.moveaxis(t, 3, 2)  # (B, Ti, Tj, Th, Tw, ...)
+
+
+def _corner_layout(y0p, x0p, cw, plan):
+    """Window-relative flattened corner indices + escape predicate.
+
+    Returns s_idx (B, Ti, Tj, Th, Tw, dg, K, 4) int32 (clipped into the
+    window for safety), cw tiled to the same leading shape, and the
+    scalar ``escaped``: whether ANY corner with nonzero weight falls
+    outside its tile window (in which case only the gather path is
+    exact)."""
+    th, tw, ti, tj, hw_win, ww_win, wsy, wsx = plan
+    y0t = _tile_samples(y0p, th, tw, ti, tj)
+    x0t = _tile_samples(x0p, th, tw, ti, tj)
+    cwt = _tile_samples(cw, th, tw, ti, tj)
+
+    wsy_a = jnp.asarray(wsy, jnp.int32)[None, :, None, None, None, None, None]
+    wsx_a = jnp.asarray(wsx, jnp.int32)[None, None, :, None, None, None, None]
+    ry0 = y0t - wsy_a
+    rx0 = x0t - wsx_a
+    # corner order (tl, tr, bl, br) matches cw's last axis
+    ry = jnp.stack([ry0, ry0, ry0 + 1, ry0 + 1], axis=-1)
+    rx = jnp.stack([rx0, rx0 + 1, rx0, rx0 + 1], axis=-1)
+    oob = (ry < 0) | (ry >= hw_win) | (rx < 0) | (rx >= ww_win)
+    escaped = jnp.any(oob & (cwt != 0))
+    s_idx = (
+        jnp.clip(ry, 0, hw_win - 1) * ww_win + jnp.clip(rx, 0, ww_win - 1)
+    )
+    return s_idx, cwt, escaped
+
+
+def _onehot_cols(x, s_idx, cwt, dg, plan, ho, wo):
+    """Windowed one-hot im2col: per tile, col = onehot @ window, where
+    onehot (B, Ti, Tj, Th*Tw*K, S) holds each sample's 4 bilinear corner
+    weights at its corners' window positions. The contraction runs on
+    the MXU; total HBM traffic is the windows + the onehot matrix — no
+    gather ops at all."""
+    b, h, w, c = x.shape
+    th, tw, ti, tj, hw_win, ww_win, wsy, wsx = plan
+    k = s_idx.shape[6]
+    cg = c // dg
+    sdim = hw_win * ww_win
+    rows = th * tw * k
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xwin = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    xp[:, sy:sy + hw_win, sx:sx + ww_win]
+                    for sx in wsx
+                ],
+                axis=1,
             )
-        out = jnp.concatenate(outs, axis=-1)
+            for sy in wsy
+        ],
+        axis=1,
+    )  # (B, Ti, Tj, Hw, Ww, C)
+    xwin = xwin.reshape(b, ti, tj, sdim, c)
+
+    iota = jnp.arange(sdim, dtype=jnp.int32)
+    cwx = cwt.astype(x.dtype)
+    col_groups = []
+    for g in range(dg):
+        # (B, Ti, Tj, Th, Tw, K, 4) for this deformable group
+        sg = s_idx[:, :, :, :, :, g]
+        wg = cwx[:, :, :, :, :, g]
+        onehot = jnp.zeros(
+            (b, ti, tj, th, tw, k, sdim), dtype=x.dtype
+        )
+        for corner in range(4):
+            onehot = onehot + wg[..., corner, None] * (
+                sg[..., corner, None] == iota
+            ).astype(x.dtype)
+        onehot = onehot.reshape(b, ti, tj, rows, sdim)
+        colg = jnp.einsum(
+            "btjrs,btjsc->btjrc",
+            onehot,
+            xwin[..., g * cg:(g + 1) * cg],
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        col_groups.append(colg)
+    col = (
+        col_groups[0] if dg == 1
+        else jnp.concatenate(col_groups, axis=-1)
+    )  # (B, Ti, Tj, rows, C)
+    col = col.reshape(b, ti, tj, th, tw, k, c)
+    col = jnp.moveaxis(col, 2, 3).reshape(b, ti * th, tj * tw, k, c)
+    return col[:, :ho, :wo]
+
+
+def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
+                  dilation=1, groups=1, deformable_groups=1,
+                  mode: Optional[str] = None, window_margin: int = 2,
+                  tile: Tuple[int, int] = (8, 16)):
+    """Functional modulated deformable conv (see module docstring).
+
+    Args:
+        x: (B, H, W, C)
+        offsets: (B, Ho, Wo, dg*K*2) as (dy, dx) pairs
+        mask: (B, Ho, Wo, dg*K) already sigmoided, or None (v1)
+        weights: (kh, kw, C/groups, O) HWIO
+        mode: 'gather' | 'onehot' | 'auto' | None (= process default)
+        window_margin: offset headroom (pixels) of the onehot windows
+        tile: (rows, cols) output tile of the onehot path
+    Returns (B, Ho, Wo, O).
+    """
+    mode = _DEFAULT_MODE if mode is None else mode
+    b, h, w, c = x.shape
+    kh, kw, cin_g, o = weights.shape
+    s, p, d = strides, padding, dilation
+    dg = deformable_groups
+
+    y0p, x0p, cw = _geometry(x, offsets, mask, kh, kw, s, p, d, dg)
+    ho, wo = y0p.shape[1], y0p.shape[2]
+
+    if mode == "gather":
+        col = _gather_cols(x, y0p, x0p, cw, dg)
+        return _contract_weights(col, weights, groups).astype(x.dtype)
+
+    plan = _onehot_plan(h, w, ho, wo, kh, kw, s, d, p, tile, window_margin)
+    s_idx, cwt, escaped = _corner_layout(y0p, x0p, cw, plan)
+
+    def onehot_path(ops):
+        xx, si, cwti = ops[0], ops[1], ops[2]
+        col = _onehot_cols(xx, si, cwti, dg, plan, ho, wo)
+        return _contract_weights(col, weights, groups)
+
+    if mode == "onehot":
+        return onehot_path((x, s_idx, cwt, y0p, x0p, cw)).astype(x.dtype)
+    if mode != "auto":
+        raise ValueError(f"unknown DCN mode {mode!r}")
+
+    def gather_path(ops):
+        xx, y0, x0, cw_ = ops[0], ops[3], ops[4], ops[5]
+        col = _gather_cols(xx, y0, x0, cw_, dg)
+        return _contract_weights(col, weights, groups)
+
+    out = jax.lax.cond(
+        escaped, gather_path, onehot_path, (x, s_idx, cwt, y0p, x0p, cw)
+    )
     return out.astype(x.dtype)
 
 
 class DeformConv(nn.Module):
     """Flax module: offset conv (zero-init, like DFConv2d) + deformable
-    sampling + weight contraction. ``modulated`` selects v2."""
+    sampling + weight contraction. ``modulated`` selects v2; ``mode``
+    picks the sampling lowering (None = process default, see
+    set_default_dcn_mode / cfg.TPU.DCN_MODE)."""
 
     features: int
     kernel_size: int = 3
@@ -153,6 +376,7 @@ class DeformConv(nn.Module):
     use_bias: bool = False
     kernel_init: Any = kaiming_uniform_a1
     dtype: Any = None
+    mode: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -186,7 +410,7 @@ class DeformConv(nn.Module):
             weights.astype(x.dtype),
             strides=self.strides, padding=self.padding,
             dilation=self.dilation, groups=self.groups,
-            deformable_groups=dg,
+            deformable_groups=dg, mode=self.mode,
         )
         if self.use_bias:
             bias = self.param(

@@ -98,7 +98,8 @@ def ref_deform_conv_nchw(x, offsets, mask, weight, stride, pad, dil,
 
 
 def run_both(seed, B=1, C=4, H=6, W=7, O=4, ksize=3, stride=1, pad=1,
-             dil=1, groups=1, dg=1, modulated=True, offset_scale=2.0):
+             dil=1, groups=1, dg=1, modulated=True, offset_scale=2.0,
+             mode="auto"):
     rng = np.random.RandomState(seed)
     k = ksize * ksize
     ho = (H + 2 * pad - (dil * (ksize - 1) + 1)) // stride + 1
@@ -122,7 +123,7 @@ def run_both(seed, B=1, C=4, H=6, W=7, O=4, ksize=3, stride=1, pad=1,
     w_j = jnp.asarray(np.transpose(weight, (2, 3, 1, 0)), jnp.float32)
     out = deform_conv2d(
         x_j, off_j, mask_j, w_j, strides=stride, padding=pad,
-        dilation=dil, groups=groups, deformable_groups=dg)
+        dilation=dil, groups=groups, deformable_groups=dg, mode=mode)
     ours = np.transpose(np.asarray(out), (0, 3, 1, 2))
     return ref, ours
 
@@ -131,45 +132,86 @@ def assert_close(ref, ours, atol=2e-4):
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=atol)
 
 
-def test_v2_fractional_offsets():
-    assert_close(*run_both(0))
+# every case runs through both lowerings: 'gather' (quad-gather im2col)
+# and 'auto' (windowed one-hot matmul with the runtime escape fallback)
+MODES = ["gather", "auto"]
 
 
-def test_v1_no_mask():
-    assert_close(*run_both(1, modulated=False))
+@pytest.mark.parametrize("mode", MODES)
+def test_v2_fractional_offsets(mode):
+    assert_close(*run_both(0, mode=mode))
 
 
-def test_stride2_pad2_dil2():
-    assert_close(*run_both(2, H=9, W=10, stride=2, pad=2, dil=2))
+@pytest.mark.parametrize("mode", MODES)
+def test_v1_no_mask(mode):
+    assert_close(*run_both(1, modulated=False, mode=mode))
 
 
-def test_stride2_pad0():
-    assert_close(*run_both(3, H=8, W=8, pad=0, stride=2))
+@pytest.mark.parametrize("mode", MODES)
+def test_stride2_pad2_dil2(mode):
+    assert_close(*run_both(2, H=9, W=10, stride=2, pad=2, dil=2, mode=mode))
 
 
-def test_deformable_groups():
-    assert_close(*run_both(4, C=8, O=6, dg=2))
+@pytest.mark.parametrize("mode", MODES)
+def test_stride2_pad0(mode):
+    assert_close(*run_both(3, H=8, W=8, pad=0, stride=2, mode=mode))
 
 
-def test_groups_and_deformable_groups():
-    assert_close(*run_both(5, C=8, O=8, groups=2, dg=2))
+@pytest.mark.parametrize("mode", MODES)
+def test_deformable_groups(mode):
+    assert_close(*run_both(4, C=8, O=6, dg=2, mode=mode))
 
 
-def test_groups4_dg4():
-    assert_close(*run_both(6, C=16, O=16, groups=4, dg=4, B=2))
+@pytest.mark.parametrize("mode", MODES)
+def test_groups_and_deformable_groups(mode):
+    assert_close(*run_both(5, C=8, O=8, groups=2, dg=2, mode=mode))
 
 
-def test_large_out_of_bounds_offsets():
-    """Offsets big enough to push many samples past the (-1, H) gate."""
-    assert_close(*run_both(7, offset_scale=8.0))
+@pytest.mark.parametrize("mode", MODES)
+def test_groups4_dg4(mode):
+    assert_close(*run_both(6, C=16, O=16, groups=4, dg=4, B=2, mode=mode))
 
 
-def test_kernel5():
-    assert_close(*run_both(8, ksize=5, pad=2, H=8, W=8))
+@pytest.mark.parametrize("mode", MODES)
+def test_large_out_of_bounds_offsets(mode):
+    """Offsets big enough to push many samples past the (-1, H) gate —
+    'auto' must detect the window escapes and fall back to gather."""
+    assert_close(*run_both(7, offset_scale=8.0, mode=mode))
 
 
-def test_batch3():
-    assert_close(*run_both(9, B=3))
+@pytest.mark.parametrize("mode", MODES)
+def test_kernel5(mode):
+    assert_close(*run_both(8, ksize=5, pad=2, H=8, W=8, mode=mode))
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_batch3(mode):
+    assert_close(*run_both(9, B=3, mode=mode))
+
+
+@pytest.mark.parametrize("mode", MODES + ["onehot"])
+def test_multi_tile_small_offsets(mode):
+    """Feature map spanning several (8, 16) output tiles with offsets
+    inside the default window margin: pure 'onehot' is exact here (no
+    escapes), and tile/window bookkeeping must line up across interior
+    and edge tiles."""
+    assert_close(*run_both(10, H=26, W=40, offset_scale=0.5, mode=mode))
+
+
+@pytest.mark.parametrize("mode", MODES + ["onehot"])
+def test_multi_tile_stride2(mode):
+    assert_close(
+        *run_both(12, H=40, W=40, stride=2, offset_scale=0.5, mode=mode))
+
+
+def test_auto_matches_gather_on_escape():
+    """When any sample escapes its window, 'auto' must take the gather
+    branch — outputs then match mode='gather' to reassociation noise
+    (the cond branch compiles in a different fusion context, so exact
+    bitwise equality is not guaranteed)."""
+    _, a = run_both(7, offset_scale=8.0, mode="auto")
+    _, g = run_both(7, offset_scale=8.0, mode="gather")
+    np.testing.assert_allclose(a, g, rtol=1e-5, atol=1e-6)
 
 
 @pytest.fixture
@@ -181,8 +223,9 @@ def x64():
     jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.parametrize("mode", ["gather", "onehot"])
 @pytest.mark.parametrize("wrt", ["x", "offsets", "mask", "weights"])
-def test_gradients_vs_numeric(wrt, x64):
+def test_gradients_vs_numeric(wrt, mode, x64):
     """jax.grad of our deform_conv2d vs central finite differences —
     the CUDA kernels' hand-written backward passes
     (deformable_col2im / _coord / weight, deform_conv_kernel_cuda.cu:
@@ -206,7 +249,7 @@ def test_gradients_vs_numeric(wrt, x64):
         out = deform_conv2d(
             a["x"], a["offsets"], a["mask"], a["weights"],
             strides=1, padding=1, dilation=1, groups=1,
-            deformable_groups=dg)
+            deformable_groups=dg, mode=mode)
         return (out * cot).sum()
 
     g = jax.grad(lambda v: f({**args, wrt: v}))(jnp.asarray(args[wrt]))

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--hw", default="800,1344")
+    ap.add_argument(
+        "--dcn-mode", default=None, choices=["auto", "gather", "onehot"],
+        help="override cfg.TPU.DCN_MODE (sampling lowering A/B)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -48,6 +52,8 @@ def main():
     cfg.merge_from_file(args.config_file)
     cfg.MODEL.WEIGHT = ""
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    if args.dcn_mode is not None:
+        cfg.TPU.DCN_MODE = args.dcn_mode
     cfg.freeze()
 
     model = build_detection_model(cfg)
