@@ -362,6 +362,12 @@ _C.TPU.NMS_IMPL = "auto"
 # escapes its window, so it is exact for arbitrary offsets like the
 # reference CUDA kernel (csrc/cuda/deform_conv_kernel_cuda.cu)
 _C.TPU.DCN_MODE = "auto"
+# offset headroom (pixels) of the onehot tile windows: 'auto' stays on
+# the fast one-hot path while every active sample's bilinear corners
+# land within this margin beyond the static receptive field; raise it
+# if trained offsets are large enough to trip the gather fallback
+# (window area — and the one-hot matmul cost — grows ~linearly)
+_C.TPU.DCN_WINDOW_MARGIN = 2
 # exact space-to-depth stem: replace the 7x7/2 conv on the 3-channel
 # image with the equivalent 4x4/1 conv on the 2x2-space-to-depth input
 # (weight import transforms the kernel). Off by default: in the full

@@ -240,7 +240,7 @@ def build_detection_model(cfg, dtype=None) -> DetectionModel:
     from ..ops.dcn import set_default_dcn_mode
 
     set_nms_impl(cfg.TPU.NMS_IMPL)
-    set_default_dcn_mode(cfg.TPU.DCN_MODE)
+    set_default_dcn_mode(cfg.TPU.DCN_MODE, cfg.TPU.DCN_WINDOW_MARGIN)
     dense = (
         cfg.MODEL.PAA_ON or cfg.MODEL.ATSS_ON or cfg.MODEL.FCOS_ON
         or cfg.MODEL.RETINANET_ON

@@ -47,16 +47,22 @@ from flax import linen as nn
 from ..modeling.layers import conv as regular_conv
 from ..modeling.layers import kaiming_uniform_a1
 
-# Process-wide default sampling mode, set from cfg.TPU.DCN_MODE by
-# build_detection_model. Per-call ``mode=`` overrides.
+# Process-wide default sampling mode and onehot window margin, set from
+# cfg.TPU.{DCN_MODE,DCN_WINDOW_MARGIN} by build_detection_model.
+# Per-call ``mode=`` / ``window_margin=`` override.
 _DEFAULT_MODE = "auto"
+_DEFAULT_MARGIN = 2
 
 
-def set_default_dcn_mode(mode: str) -> None:
-    global _DEFAULT_MODE
+def set_default_dcn_mode(mode: str, window_margin: Optional[int] = None):
+    global _DEFAULT_MODE, _DEFAULT_MARGIN
     if mode not in ("auto", "gather", "onehot"):
         raise ValueError(f"unknown DCN mode {mode!r}")
     _DEFAULT_MODE = mode
+    if window_margin is not None:
+        if window_margin < 0:
+            raise ValueError("window_margin must be >= 0")
+        _DEFAULT_MARGIN = window_margin
 
 
 def _geometry(x, offsets, mask, kh, kw, s, p, d, dg):
@@ -308,7 +314,8 @@ def _onehot_cols(x, s_idx, cwt, dg, plan, ho, wo):
 
 def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
                   dilation=1, groups=1, deformable_groups=1,
-                  mode: Optional[str] = None, window_margin: int = 2,
+                  mode: Optional[str] = None,
+                  window_margin: Optional[int] = None,
                   tile: Tuple[int, int] = (8, 16)):
     """Functional modulated deformable conv (see module docstring).
 
@@ -319,10 +326,15 @@ def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
         weights: (kh, kw, C/groups, O) HWIO
         mode: 'gather' | 'onehot' | 'auto' | None (= process default)
         window_margin: offset headroom (pixels) of the onehot windows
+            (None = process default; larger keeps 'auto' on the fast
+            path for bigger trained offsets at ~linear window cost)
         tile: (rows, cols) output tile of the onehot path
     Returns (B, Ho, Wo, O).
     """
     mode = _DEFAULT_MODE if mode is None else mode
+    window_margin = (
+        _DEFAULT_MARGIN if window_margin is None else window_margin
+    )
     b, h, w, c = x.shape
     kh, kw, cin_g, o = weights.shape
     s, p, d = strides, padding, dilation

@@ -99,7 +99,7 @@ def ref_deform_conv_nchw(x, offsets, mask, weight, stride, pad, dil,
 
 def run_both(seed, B=1, C=4, H=6, W=7, O=4, ksize=3, stride=1, pad=1,
              dil=1, groups=1, dg=1, modulated=True, offset_scale=2.0,
-             mode="auto"):
+             mode="auto", window_margin=None):
     rng = np.random.RandomState(seed)
     k = ksize * ksize
     ho = (H + 2 * pad - (dil * (ksize - 1) + 1)) // stride + 1
@@ -123,7 +123,8 @@ def run_both(seed, B=1, C=4, H=6, W=7, O=4, ksize=3, stride=1, pad=1,
     w_j = jnp.asarray(np.transpose(weight, (2, 3, 1, 0)), jnp.float32)
     out = deform_conv2d(
         x_j, off_j, mask_j, w_j, strides=stride, padding=pad,
-        dilation=dil, groups=groups, deformable_groups=dg, mode=mode)
+        dilation=dil, groups=groups, deformable_groups=dg, mode=mode,
+        window_margin=window_margin)
     ours = np.transpose(np.asarray(out), (0, 3, 1, 2))
     return ref, ours
 
@@ -202,6 +203,14 @@ def test_multi_tile_small_offsets(mode):
 def test_multi_tile_stride2(mode):
     assert_close(
         *run_both(12, H=40, W=40, stride=2, offset_scale=0.5, mode=mode))
+
+
+def test_wide_margin_keeps_onehot_exact():
+    """Offsets too large for the default margin but inside a widened
+    window: pure 'onehot' with window_margin=8 must stay exact (the
+    cfg.TPU.DCN_WINDOW_MARGIN escape hatch for big trained offsets)."""
+    assert_close(*run_both(
+        11, H=26, W=40, offset_scale=1.5, mode="onehot", window_margin=8))
 
 
 def test_auto_matches_gather_on_escape():
