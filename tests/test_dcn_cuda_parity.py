@@ -205,6 +205,16 @@ def test_multi_tile_stride2(mode):
         *run_both(12, H=40, W=40, stride=2, offset_scale=0.5, mode=mode))
 
 
+@pytest.mark.parametrize("mode", MODES + ["onehot"])
+def test_resnext_shaped_groups(mode):
+    """ResNeXt-style DCN: many small conv groups (X-101-64x4d puts the
+    modulated DCN on the 64-group bottleneck conv2), one deformable
+    group, multi-tile output."""
+    assert_close(*run_both(
+        13, C=32, O=32, groups=8, dg=1, H=20, W=24, offset_scale=0.5,
+        mode=mode))
+
+
 def test_wide_margin_keeps_onehot_exact():
     """Offsets too large for the default margin but inside a widened
     window: pure 'onehot' with window_margin=8 must stay exact (the
