@@ -340,34 +340,43 @@ def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
     s, p, d = strides, padding, dilation
     dg = deformable_groups
 
-    y0p, x0p, cw = _geometry(x, offsets, mask, kh, kw, s, p, d, dg)
-    ho, wo = y0p.shape[1], y0p.shape[2]
-
     if mode == "gather":
+        y0p, x0p, cw = _geometry(x, offsets, mask, kh, kw, s, p, d, dg)
         col = _gather_cols(x, y0p, x0p, cw, dg)
         return _contract_weights(col, weights, groups).astype(x.dtype)
+    if mode not in ("onehot", "auto"):
+        raise ValueError(f"unknown DCN mode {mode!r}")
 
+    ho = (h + 2 * p - d * (kh - 1) - 1) // s + 1
+    wo = (w + 2 * p - d * (kw - 1) - 1) // s + 1
     plan = _onehot_plan(h, w, ho, wo, kh, kw, s, d, p, tile, window_margin)
-    s_idx, cwt, escaped = _corner_layout(y0p, x0p, cw, plan)
 
+    # both cond branches take only the RAW inputs and recompute geometry
+    # internally: precomputed index/weight tensors passed through a
+    # lax.cond are materialized to HBM before the branch runs, which
+    # blocks fusion and cost 35% e2e on dcnv2-R101 (measured; PERF.md)
     def onehot_path(ops):
-        xx, si, cwti = ops[0], ops[1], ops[2]
-        col = _onehot_cols(xx, si, cwti, dg, plan, ho, wo)
+        xx, offs, mk = ops
+        y0p, x0p, cw = _geometry(xx, offs, mk, kh, kw, s, p, d, dg)
+        s_idx, cwt, _ = _corner_layout(y0p, x0p, cw, plan)
+        col = _onehot_cols(xx, s_idx, cwt, dg, plan, ho, wo)
         return _contract_weights(col, weights, groups)
 
     if mode == "onehot":
-        return onehot_path((x, s_idx, cwt, y0p, x0p, cw)).astype(x.dtype)
-    if mode != "auto":
-        raise ValueError(f"unknown DCN mode {mode!r}")
+        return onehot_path((x, offsets, mask)).astype(x.dtype)
 
     def gather_path(ops):
-        xx, y0, x0, cw_ = ops[0], ops[3], ops[4], ops[5]
-        col = _gather_cols(xx, y0, x0, cw_, dg)
+        xx, offs, mk = ops
+        y0p, x0p, cw = _geometry(xx, offs, mk, kh, kw, s, p, d, dg)
+        col = _gather_cols(xx, y0p, x0p, cw, dg)
         return _contract_weights(col, weights, groups)
 
-    out = jax.lax.cond(
-        escaped, gather_path, onehot_path, (x, s_idx, cwt, y0p, x0p, cw)
-    )
+    # standalone escape predicate: recomputes the (cheap) geometry and
+    # reduces — XLA fuses the whole check into one pass over the offsets
+    y0p, x0p, cw = _geometry(x, offsets, mask, kh, kw, s, p, d, dg)
+    _, _, escaped = _corner_layout(y0p, x0p, cw, plan)
+
+    out = jax.lax.cond(escaped, gather_path, onehot_path, (x, offsets, mask))
     return out.astype(x.dtype)
 
 

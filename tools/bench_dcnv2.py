@@ -36,6 +36,11 @@ def main():
         "--dcn-mode", default=None, choices=["auto", "gather", "onehot"],
         help="override cfg.TPU.DCN_MODE (sampling lowering A/B)",
     )
+    ap.add_argument(
+        "--train", action="store_true",
+        help="measure the full train step (fwd + assignment + losses "
+             "+ bwd + SGD) instead of inference",
+    )
     args = ap.parse_args()
 
     import jax
@@ -63,6 +68,61 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), hw)
     anchors, counts = model.anchors_for(hw)
     pp = PostProcessConfig.from_cfg(cfg)
+
+    if args.train:
+        from paa_tpu.engine.train_step import TrainState
+        from paa_tpu.solver import make_optimizer, param_labels
+
+        params = variables["params"]
+        tx, _ = make_optimizer(cfg, params)
+        state = TrainState.create(model.module.apply, params, tx)
+        labels = param_labels(
+            params, cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT
+        )
+        step = jax.jit(
+            model.make_bucket_train_step(hw, param_label_tree=labels),
+            donate_argnums=(0,),
+        )
+        rng = np.random.RandomState(0)
+        batch = {
+            "images": jnp.asarray(
+                rng.uniform(-128, 128, (args.batch, *hw, 3))
+                .astype(np.float32)
+            ),
+            "gt_boxes": jnp.asarray(
+                np.tile(
+                    np.array(
+                        [[[20, 30, 300, 400], [350, 200, 700, 640]]],
+                        np.float32,
+                    ),
+                    (args.batch, 1, 1),
+                )
+            ),
+            "gt_labels": jnp.asarray(
+                np.tile(np.array([[5, 17]], np.int32), (args.batch, 1))
+            ),
+        }
+        state, metrics = step(state, batch)
+        float(metrics["loss"])
+        t0 = time.time()
+        for _ in range(args.iters):
+            state, metrics = step(state, batch)
+        float(metrics["loss"])
+        dt = time.time() - t0
+        name = os.path.basename(args.config_file).replace(".yaml", "")
+        print(
+            json.dumps(
+                {
+                    "metric": f"{name} train-step throughput "
+                              f"({args.hw.replace(',', 'x')}, bf16, "
+                              "fwd+assign+bwd+SGD)",
+                    "value": round(args.batch * args.iters / dt, 2),
+                    "unit": "images/sec/chip",
+                    "batch": args.batch,
+                }
+            )
+        )
+        return
 
     @jax.jit
     def infer(variables, images, image_sizes, carry):
@@ -97,7 +157,8 @@ def main():
         json.dumps(
             {
                 "metric": f"{name} inference throughput "
-                          "(800x1344, bf16, incl. NMS+score-voting)",
+                          f"({args.hw.replace(',', 'x')}, bf16, "
+                          "incl. NMS+score-voting)",
                 "value": round(img_per_s, 2),
                 "unit": "images/sec/chip",
                 "batch": batch,
