@@ -365,18 +365,59 @@ def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
     if mode == "onehot":
         return onehot_path((x, offsets, mask)).astype(x.dtype)
 
-    def gather_path(ops):
-        xx, offs, mk = ops
+    def _escaped(xx, offs, mk):
+        # standalone escape predicate: recomputes the (cheap) geometry
+        # and reduces — XLA fuses the check into one pass over offsets
         y0p, x0p, cw = _geometry(xx, offs, mk, kh, kw, s, p, d, dg)
-        col = _gather_cols(xx, y0p, x0p, cw, dg)
-        return _contract_weights(col, weights, groups)
+        _, _, escaped = _corner_layout(y0p, x0p, cw, plan)
+        return escaped
 
-    # standalone escape predicate: recomputes the (cheap) geometry and
-    # reduces — XLA fuses the whole check into one pass over the offsets
-    y0p, x0p, cw = _geometry(x, offsets, mask, kh, kw, s, p, d, dg)
-    _, _, escaped = _corner_layout(y0p, x0p, cw, plan)
+    # custom VJP: autodiff residuals that cross a lax.cond boundary are
+    # materialized to HBM — the f32 one-hot corner matrices alone are
+    # ~13 GB for ONE stage-2-sized layer, OOMing its backward (and
+    # jax.checkpoint does not help: the rematerialized forward still
+    # linearizes through the cond, recreating the same residuals). So
+    # save only the raw inputs, and run the selected branch's entire
+    # recompute-forward + vjp INSIDE one cond branch body, where buffer
+    # liveness is local and XLA schedules it like the pure lowering.
+    def path_w(path):
+        def f(ops):
+            xx, offs, mk, wts = ops
+            y0p, x0p, cw = _geometry(xx, offs, mk, kh, kw, s, p, d, dg)
+            if path == "gather":
+                col = _gather_cols(xx, y0p, x0p, cw, dg)
+            else:
+                s_idx, cwt, _ = _corner_layout(y0p, x0p, cw, plan)
+                col = _onehot_cols(xx, s_idx, cwt, dg, plan, ho, wo)
+            return _contract_weights(col, wts, groups)
+        return f
 
-    out = jax.lax.cond(escaped, gather_path, onehot_path, (x, offsets, mask))
+    @jax.custom_vjp
+    def sample_auto(ops):
+        escaped = _escaped(ops[0], ops[1], ops[2])
+        return jax.lax.cond(
+            escaped, path_w("gather"), path_w("onehot"), ops
+        )
+
+    def sample_auto_fwd(ops):
+        return sample_auto(ops), ops
+
+    def sample_auto_bwd(ops, g):
+        escaped = _escaped(ops[0], ops[1], ops[2])
+
+        def branch_bwd(path):
+            def f(args):
+                ops_, g_ = args
+                _, vjp = jax.vjp(path_w(path), ops_)
+                return vjp(g_)[0]
+            return f
+
+        return (jax.lax.cond(
+            escaped, branch_bwd("gather"), branch_bwd("onehot"), (ops, g)
+        ),)
+
+    sample_auto.defvjp(sample_auto_fwd, sample_auto_bwd)
+    out = sample_auto((x, offsets, mask, weights))
     return out.astype(x.dtype)
 
 
