@@ -32,6 +32,8 @@ class ATSSHead(nn.Module):
     # USE_IOU_PRED both False)
     use_branch: bool = True
     fused_gn: bool = False
+    dcn_mode: Any = None
+    dcn_window_margin: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -40,11 +42,15 @@ class ATSSHead(nn.Module):
         cls_tower = ConvTower(
             self.in_channels, self.num_convs,
             use_dcn_last=self.use_dcn_in_tower, fused_gn=self.fused_gn,
+            dcn_mode=self.dcn_mode,
+            dcn_window_margin=self.dcn_window_margin,
             dtype=self.dtype, name="cls_tower",
         )
         bbox_tower = ConvTower(
             self.in_channels, self.num_convs,
             use_dcn_last=self.use_dcn_in_tower, fused_gn=self.fused_gn,
+            dcn_mode=self.dcn_mode,
+            dcn_window_margin=self.dcn_window_margin,
             dtype=self.dtype, name="bbox_tower",
         )
         bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
@@ -122,5 +128,7 @@ def atss_head_from_cfg(cfg, dtype=jnp.float32):
             or cfg.MODEL.ATSS.USE_IOU_PRED
         ),
         fused_gn=cfg.TPU.FUSED_GN,
+        dcn_mode=cfg.TPU.DCN_MODE,
+        dcn_window_margin=cfg.TPU.DCN_WINDOW_MARGIN,
         dtype=dtype,
     )

@@ -61,6 +61,8 @@ class FCOSHead(nn.Module):
     norm_reg_targets: bool = False
     centerness_on_reg: bool = False
     fused_gn: bool = False
+    dcn_mode: Any = None
+    dcn_window_margin: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -69,11 +71,15 @@ class FCOSHead(nn.Module):
         cls_tower = ConvTower(
             self.in_channels, self.num_convs,
             use_dcn_last=self.use_dcn_in_tower, fused_gn=self.fused_gn,
+            dcn_mode=self.dcn_mode,
+            dcn_window_margin=self.dcn_window_margin,
             dtype=self.dtype, name="cls_tower",
         )
         bbox_tower = ConvTower(
             self.in_channels, self.num_convs,
             use_dcn_last=self.use_dcn_in_tower, fused_gn=self.fused_gn,
+            dcn_mode=self.dcn_mode,
+            dcn_window_margin=self.dcn_window_margin,
             dtype=self.dtype, name="bbox_tower",
         )
         bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
@@ -129,5 +135,7 @@ def fcos_head_from_cfg(cfg, dtype=jnp.float32):
         norm_reg_targets=cfg.MODEL.FCOS.NORM_REG_TARGETS,
         centerness_on_reg=cfg.MODEL.FCOS.CENTERNESS_ON_REG,
         fused_gn=cfg.TPU.FUSED_GN,
+        dcn_mode=cfg.TPU.DCN_MODE,
+        dcn_window_margin=cfg.TPU.DCN_WINDOW_MARGIN,
         dtype=dtype,
     )

@@ -12,7 +12,7 @@ import time.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -80,6 +80,68 @@ class SyncBatchNorm(nn.Module):
         )(x)
 
 
+class SupergroupConv(nn.Module):
+    """Grouped conv lowered as 128-wide block-diagonal supergroups.
+
+    EXACT reformulation of ``nn.Conv(feature_group_count=groups)`` for
+    MXU efficiency (ops/groupconv.py): parameters keep the grouped
+    layout/naming (``kernel`` (kh, kw, Cin/groups, features), optional
+    ``bias``) so checkpoints, torch import, and tests are oblivious; the
+    block-diagonal expansion happens at call time (negligible cost, and
+    constant-folded for frozen weights).
+    """
+
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    padding: tuple
+    groups: int
+    use_bias: bool = False
+    kernel_dilation: tuple = (1, 1)
+    kernel_init: Any = kaiming_uniform_a1
+    bias_init: Any = nn.initializers.zeros
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.groupconv import (
+            expand_supergroup_kernel,
+            supergroup_plan,
+        )
+
+        cin_g = x.shape[-1] // self.groups
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (*self.kernel_size, cin_g, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        plan = supergroup_plan(
+            self.groups, cin_g, self.features // self.groups
+        )
+        wk = kernel.astype(dtype)
+        fgc = self.groups
+        if plan is not None:
+            m, fgc = plan
+            wk = expand_supergroup_kernel(wk, self.groups, m)
+        out = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            wk,
+            self.strides,
+            self.padding,
+            rhs_dilation=self.kernel_dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=fgc,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", self.bias_init, (self.features,), jnp.float32
+            )
+            out = out + bias.astype(out.dtype)
+        return out
+
+
 def conv(
     features,
     kernel_size,
@@ -92,11 +154,15 @@ def conv(
     bias_init=nn.initializers.zeros,
     dtype=None,
     name=None,
+    supergroup=True,
 ):
     """Conv2D with torch-style explicit integer padding (NHWC).
 
     ``dtype`` is the compute dtype (params stay float32); pass
-    jnp.bfloat16 to run the conv on the MXU in bf16.
+    jnp.bfloat16 to run the conv on the MXU in bf16. Grouped convs with
+    narrow groups (ResNeXt) are lowered block-diagonally via
+    SupergroupConv unless ``supergroup=False`` (exact either way; see
+    ops/groupconv.py).
     """
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size, kernel_size)
@@ -106,6 +172,23 @@ def conv(
         padding = ((padding, padding), (padding, padding))
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
+    if groups > 1 and supergroup:
+        # input channels are only known at call time; SupergroupConv
+        # applies supergroup_plan then (falling back to the plain
+        # grouped lowering when the plan declines, e.g. depthwise)
+        return SupergroupConv(
+            features=features,
+            kernel_size=kernel_size,
+            strides=strides,
+            padding=padding,
+            groups=groups,
+            use_bias=use_bias,
+            kernel_dilation=dilation,
+            kernel_init=kernel_init,
+            bias_init=bias_init,
+            dtype=dtype,
+            name=name,
+        )
     return nn.Conv(
         features=features,
         kernel_size=kernel_size,

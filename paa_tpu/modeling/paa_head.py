@@ -30,6 +30,8 @@ class ConvTower(nn.Module):
     num_convs: int = 4
     use_dcn_last: bool = False
     fused_gn: bool = False  # TPU.FUSED_GN: one-pass GN+ReLU kernel
+    dcn_mode: Any = None  # None = process default (set_default_dcn_mode)
+    dcn_window_margin: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -41,7 +43,9 @@ class ConvTower(nn.Module):
                 x = DeformConv(
                     features=self.channels, kernel_size=3, strides=1,
                     padding=1, modulated=True, use_bias=True,
-                    kernel_init=head_normal_init, name=f"conv{i}",
+                    kernel_init=head_normal_init, mode=self.dcn_mode,
+                    window_margin=self.dcn_window_margin,
+                    name=f"conv{i}",
                 )(x)
             else:
                 x = conv(
@@ -67,6 +71,8 @@ class PAAHead(nn.Module):
     use_dcn_in_tower: bool = False
     prior_prob: float = 0.01
     fused_gn: bool = False
+    dcn_mode: Any = None
+    dcn_window_margin: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -75,11 +81,15 @@ class PAAHead(nn.Module):
         cls_tower = ConvTower(
             self.in_channels, self.num_convs,
             use_dcn_last=self.use_dcn_in_tower, fused_gn=self.fused_gn,
+            dcn_mode=self.dcn_mode,
+            dcn_window_margin=self.dcn_window_margin,
             dtype=self.dtype, name="cls_tower",
         )
         bbox_tower = ConvTower(
             self.in_channels, self.num_convs,
             use_dcn_last=self.use_dcn_in_tower, fused_gn=self.fused_gn,
+            dcn_mode=self.dcn_mode,
+            dcn_window_margin=self.dcn_window_margin,
             dtype=self.dtype, name="bbox_tower",
         )
         bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
@@ -142,5 +152,7 @@ def paa_head_from_cfg(cfg, dtype=jnp.float32):
         use_dcn_in_tower=cfg.MODEL.PAA.USE_DCN_IN_TOWER,
         prior_prob=cfg.MODEL.PAA.PRIOR_PROB,
         fused_gn=cfg.TPU.FUSED_GN,
+        dcn_mode=cfg.TPU.DCN_MODE,
+        dcn_window_margin=cfg.TPU.DCN_WINDOW_MARGIN,
         dtype=dtype,
     )

@@ -99,6 +99,8 @@ class Bottleneck(nn.Module):
     with_dcn: bool = False
     with_modulated_dcn: bool = False
     deformable_groups: int = 1
+    dcn_mode: Any = None
+    dcn_window_margin: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -130,6 +132,8 @@ class Bottleneck(nn.Module):
                 groups=self.num_groups,
                 deformable_groups=self.deformable_groups,
                 modulated=self.with_modulated_dcn,
+                mode=self.dcn_mode,
+                window_margin=self.dcn_window_margin,
                 name="conv2",
             )(out)
         else:
@@ -177,6 +181,8 @@ class ResNet(nn.Module):
     deformable_groups: int = 1
     res5_dilation: int = 1
     space_to_depth: bool = False
+    dcn_mode: Any = None
+    dcn_window_margin: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -216,6 +222,8 @@ class ResNet(nn.Module):
                     with_dcn=with_dcn,
                     with_modulated_dcn=self.with_modulated_dcn,
                     deformable_groups=self.deformable_groups,
+                    dcn_mode=self.dcn_mode,
+                    dcn_window_margin=self.dcn_window_margin,
                     dtype=self.dtype,
                     name=f"layer{stage_index}_{b}",
                 )(x)
@@ -243,5 +251,7 @@ def resnet_from_cfg(cfg, dtype=jnp.float32):
         deformable_groups=cfg.MODEL.RESNETS.DEFORMABLE_GROUPS,
         res5_dilation=cfg.MODEL.RESNETS.RES5_DILATION,
         space_to_depth=cfg.TPU.SPACE_TO_DEPTH,
+        dcn_mode=cfg.TPU.DCN_MODE,
+        dcn_window_margin=cfg.TPU.DCN_WINDOW_MARGIN,
         dtype=dtype,
     )

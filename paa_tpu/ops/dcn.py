@@ -134,14 +134,26 @@ def _contract_weights(col, weights, groups):
         )
     # grouped: one batched matmul with the group as a batch dim (a
     # Python loop of per-group einsums would emit `groups` HLOs — 64
-    # per layer for X-101-64x4d)
+    # per layer for X-101-64x4d). Narrow ResNeXt groups are merged into
+    # 128-wide block-diagonal supergroups for MXU tile efficiency
+    # (exact; ops/groupconv.py).
+    from .groupconv import (
+        expand_supergroup_matmul_weights,
+        supergroup_plan,
+    )
+
     og = o // groups
     b, ho, wo = col.shape[:3]
-    col_g = col.reshape(b, ho, wo, k, groups, cin_g)
     # HWIO grouped weights carry per-group cin (dim 2) and the FULL
     # output dim split group-major along O (group g owns outputs
     # g*og:(g+1)*og)
     w_g = weights.reshape(k, cin_g, groups, og)
+    g = groups
+    plan = supergroup_plan(groups, cin_g, og)
+    if plan is not None:
+        m, g = plan
+        w_g = expand_supergroup_matmul_weights(w_g, groups, m)
+    col_g = col.reshape(b, ho, wo, k, g, (cin_g * groups) // g)
     out = jnp.einsum(
         "bhwkgc,kcgo->bhwgo",
         col_g,
@@ -245,6 +257,16 @@ def _corner_layout(y0p, x0p, cw, plan):
     ry = jnp.stack([ry0, ry0, ry0 + 1, ry0 + 1], axis=-1)
     rx = jnp.stack([rx0, rx0 + 1, rx0, rx0 + 1], axis=-1)
     oob = (ry < 0) | (ry >= hw_win) | (rx < 0) | (rx >= ww_win)
+    # FORWARD-exactness predicate: a corner with exactly-zero bilinear
+    # weight may sit outside the window without escaping (its clipped
+    # position contributes 0). Gradient caveat: d(weight)/d(offset) is
+    # nonzero at weight == 0, so the offset gradient through such a
+    # corner reads the clipped (wrong) pixel in the onehot branch —
+    # only reachable when an exact-integer offset lands a corner
+    # precisely at window-edge + margin (measure-zero; zero-init
+    # offsets keep corners well inside). Extend the predicate to
+    # weight-gradient-carrying corners if bitwise gradient parity with
+    # gather is ever required.
     escaped = jnp.any(oob & (cwt != 0))
     s_idx = (
         jnp.clip(ry, 0, hw_win - 1) * ww_win + jnp.clip(rx, 0, ww_win - 1)
@@ -252,7 +274,50 @@ def _corner_layout(y0p, x0p, cw, plan):
     return s_idx, cwt, escaped
 
 
-def _onehot_cols(x, s_idx, cwt, dg, plan, ho, wo):
+def _contract_weights_tiled(col, weights, groups, k):
+    """Tiled-form weight contraction: (B, Ti, Tj, Th*Tw*K, C) im2col
+    tiles x (kh, kw, Cin/groups, O) HWIO -> (B, Ti, Tj, Th*Tw, O).
+
+    Contracting BEFORE the spatial reassembly keeps the K*C-wide col
+    tensor in tiled layout (where XLA can fuse it with the producing
+    interpolation matmul) — the tensor that round-trips HBM for the
+    reassembly copy is the O-wide output, 9x smaller. Grouped weights
+    get the same 128-wide block-diagonal supergroup treatment as
+    _contract_weights."""
+    from .groupconv import (
+        expand_supergroup_matmul_weights,
+        supergroup_plan,
+    )
+
+    b, ti, tj, rows, c = col.shape
+    p = rows // k
+    cin_g, o = weights.shape[2], weights.shape[3]
+    colk = col.reshape(b, ti, tj, p, k, c)
+    if groups == 1:
+        return jnp.einsum(
+            "btjpkc,kco->btjpo",
+            colk,
+            weights.reshape(k, cin_g, o),
+            preferred_element_type=jnp.float32,
+        )
+    og = o // groups
+    w_g = weights.reshape(k, cin_g, groups, og)
+    g = groups
+    plan = supergroup_plan(groups, cin_g, og)
+    if plan is not None:
+        m, g = plan
+        w_g = expand_supergroup_matmul_weights(w_g, groups, m)
+    col_g = colk.reshape(b, ti, tj, p, k, g, c // g)
+    out = jnp.einsum(
+        "btjpkgc,kcgo->btjpgo",
+        col_g,
+        w_g,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, ti, tj, p, o)
+
+
+def _onehot_cols(x, s_idx, cwt, dg, plan):
     """Windowed one-hot im2col: per tile, col = onehot @ window, where
     onehot (B, Ti, Tj, Th*Tw*K, S) holds each sample's 4 bilinear corner
     weights at its corners' window positions. The contraction runs on
@@ -303,13 +368,25 @@ def _onehot_cols(x, s_idx, cwt, dg, plan, ho, wo):
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
         col_groups.append(colg)
-    col = (
+    return (
         col_groups[0] if dg == 1
         else jnp.concatenate(col_groups, axis=-1)
-    )  # (B, Ti, Tj, rows, C)
-    col = col.reshape(b, ti, tj, th, tw, k, c)
-    col = jnp.moveaxis(col, 2, 3).reshape(b, ti * th, tj * tw, k, c)
-    return col[:, :ho, :wo]
+    )  # (B, Ti, Tj, rows, C) tiled layout, rows = (Th, Tw, K)
+
+
+def _onehot_out(x, s_idx, cwt, dg, plan, ho, wo, weights, groups):
+    """One-hot sampling + weight contraction, reassembled to
+    (B, Ho, Wo, O) f32. The contraction happens in tiled layout
+    (_contract_weights_tiled) so only the O-wide result pays the
+    reassembly copy."""
+    th, tw, ti, tj = plan[0], plan[1], plan[2], plan[3]
+    k = s_idx.shape[6]
+    col = _onehot_cols(x, s_idx, cwt, dg, plan)
+    out = _contract_weights_tiled(col, weights, groups, k)
+    b, o = out.shape[0], out.shape[-1]
+    out = out.reshape(b, ti, tj, th, tw, o)
+    out = jnp.moveaxis(out, 2, 3).reshape(b, ti * th, tj * tw, o)
+    return out[:, :ho, :wo]
 
 
 def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
@@ -359,8 +436,9 @@ def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
         xx, offs, mk = ops
         y0p, x0p, cw = _geometry(xx, offs, mk, kh, kw, s, p, d, dg)
         s_idx, cwt, _ = _corner_layout(y0p, x0p, cw, plan)
-        col = _onehot_cols(xx, s_idx, cwt, dg, plan, ho, wo)
-        return _contract_weights(col, weights, groups)
+        return _onehot_out(
+            xx, s_idx, cwt, dg, plan, ho, wo, weights, groups
+        )
 
     if mode == "onehot":
         return onehot_path((x, offsets, mask)).astype(x.dtype)
@@ -386,10 +464,11 @@ def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
             y0p, x0p, cw = _geometry(xx, offs, mk, kh, kw, s, p, d, dg)
             if path == "gather":
                 col = _gather_cols(xx, y0p, x0p, cw, dg)
-            else:
-                s_idx, cwt, _ = _corner_layout(y0p, x0p, cw, plan)
-                col = _onehot_cols(xx, s_idx, cwt, dg, plan, ho, wo)
-            return _contract_weights(col, wts, groups)
+                return _contract_weights(col, wts, groups)
+            s_idx, cwt, _ = _corner_layout(y0p, x0p, cw, plan)
+            return _onehot_out(
+                xx, s_idx, cwt, dg, plan, ho, wo, wts, groups
+            )
         return f
 
     @jax.custom_vjp
@@ -439,6 +518,7 @@ class DeformConv(nn.Module):
     kernel_init: Any = kaiming_uniform_a1
     dtype: Any = None
     mode: Optional[str] = None
+    window_margin: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
@@ -473,6 +553,7 @@ class DeformConv(nn.Module):
             strides=self.strides, padding=self.padding,
             dilation=self.dilation, groups=self.groups,
             deformable_groups=dg, mode=self.mode,
+            window_margin=self.window_margin,
         )
         if self.use_bias:
             bias = self.param(

@@ -242,7 +242,7 @@ def x64():
     jax.config.update("jax_enable_x64", False)
 
 
-@pytest.mark.parametrize("mode", ["gather", "onehot"])
+@pytest.mark.parametrize("mode", ["gather", "onehot", "auto"])
 @pytest.mark.parametrize("wrt", ["x", "offsets", "mask", "weights"])
 def test_gradients_vs_numeric(wrt, mode, x64):
     """jax.grad of our deform_conv2d vs central finite differences —
@@ -289,3 +289,74 @@ def test_gradients_vs_numeric(wrt, mode, x64):
         np.testing.assert_allclose(
             g.reshape(-1)[i], num, rtol=2e-2, atol=2e-3,
             err_msg=f"grad wrt {wrt} at flat index {i}")
+
+
+@pytest.mark.parametrize("wrt", ["x", "offsets"])
+def test_gradients_vs_numeric_auto_escape(wrt, x64):
+    """auto's custom VJP on the GATHER branch: big offsets on an input
+    larger than one onehot tile force the escape predicate true, so
+    both sample_auto_bwd cond branches get finite-difference coverage
+    (the small-shape test above can only exercise the onehot branch —
+    its window covers the whole padded frame)."""
+    from paa_tpu.ops import dcn
+
+    rng = np.random.RandomState(13)
+    B, C, H, W, O, ks, dg = 1, 4, 16, 24, 4, 3, 1
+    k = ks * ks
+    x = rng.normal(0, 1, (B, H, W, C)).astype(np.float64)
+    off = (rng.uniform(0.1, 0.9, (B, H, W, dg * k * 2))
+           + rng.randint(-7, 7, (B, H, W, dg * k * 2))).astype(np.float64)
+    mask = rng.uniform(0.2, 1.0, (B, H, W, dg * k)).astype(np.float64)
+    wts = rng.normal(0, 0.2, (ks, ks, C, O)).astype(np.float64)
+    cot = rng.normal(0, 1, (B, H, W, O)).astype(np.float64)
+
+    # the escape predicate must actually fire for this test to mean
+    # anything (window margin 2 << max |offset| 7)
+    plan = dcn._onehot_plan(H, W, H, W, ks, ks, 1, 1, 1, (8, 16), 2)
+    y0p, x0p, cw = dcn._geometry(
+        jnp.asarray(x), jnp.asarray(off), jnp.asarray(mask),
+        ks, ks, 1, 1, 1, dg)
+    _, _, escaped = dcn._corner_layout(y0p, x0p, cw, plan)
+    assert bool(escaped), "test setup no longer escapes the window"
+
+    args = {"x": x, "offsets": off, "mask": mask, "weights": wts}
+
+    def f(a):
+        out = deform_conv2d(
+            a["x"], a["offsets"], a["mask"], a["weights"],
+            strides=1, padding=1, dilation=1, groups=1,
+            deformable_groups=dg, mode="auto")
+        return (out * cot).sum()
+
+    g = jax.grad(lambda v: f({**args, wrt: v}))(jnp.asarray(args[wrt]))
+    g = np.asarray(g)
+
+    # auto must agree with gather exactly on this input (escaped branch)
+    def f_gather(v):
+        a = {**args, wrt: v}
+        out = deform_conv2d(
+            a["x"], a["offsets"], a["mask"], a["weights"],
+            strides=1, padding=1, dilation=1, groups=1,
+            deformable_groups=dg, mode="gather")
+        return (out * cot).sum()
+
+    g_gather = np.asarray(jax.grad(f_gather)(jnp.asarray(args[wrt])))
+    # same branch, but the custom-VJP recompute schedules differently
+    # than plain autodiff -> f32 rounding-level differences only
+    np.testing.assert_allclose(g, g_gather, rtol=1e-4, atol=1e-6)
+
+    flat = args[wrt].reshape(-1)
+    eps = 1e-4
+    idxs = rng.choice(flat.size, size=8, replace=False)
+    for i in idxs:
+        fplus = flat.copy()
+        fplus[i] += eps
+        fminus = flat.copy()
+        fminus[i] -= eps
+        num = (
+            float(f({**args, wrt: fplus.reshape(args[wrt].shape)}))
+            - float(f({**args, wrt: fminus.reshape(args[wrt].shape)}))
+        ) / (2 * eps)
+        np.testing.assert_allclose(
+            g.reshape(-1)[i], num, rtol=2e-2, atol=2e-3,
+            err_msg=f"auto/escape grad wrt {wrt} at flat index {i}")
