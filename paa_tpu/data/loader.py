@@ -64,12 +64,19 @@ def pad_to_bucket(image, bucket_hw):
     return out
 
 
-def make_batch(samples, bucket_hw, max_gt, mask_size=112):
+def make_batch(samples, bucket_hw, max_gt, mask_size=112,
+               normalize=None):
     """Assemble transformed samples into fixed-shape arrays.
 
     samples: list of dicts with image (float32 HWC), boxes, labels,
     image_id, orig_size (h, w). Short batches are padded with zero images
     and image_id -1.
+
+    normalize: optional (pixel_mean, pixel_std) — samples then carry
+    RAW uint8 images (transform built with defer_normalize=True) and
+    (x - mean)/std is computed straight into the padded float32 batch
+    buffer: one fused pass instead of per-image temporaries, with
+    bit-identical values.
     """
     bsz = len(samples)
     bh, bw = bucket_hw
@@ -101,7 +108,12 @@ def make_batch(samples, bucket_hw, max_gt, mask_size=112):
     for i, s in enumerate(samples):
         img = s["image"]
         h, w = img.shape[:2]
-        images[i, :h, :w] = img
+        if normalize is not None and img.dtype == np.uint8:
+            from .transforms import normalize_image
+
+            normalize_image(img, *normalize, out=images[i, :h, :w])
+        else:
+            images[i, :h, :w] = img
         image_sizes[i] = (h, w)
         orig_sizes[i] = s["orig_size"]
         image_ids[i] = s["image_id"]
@@ -135,7 +147,7 @@ class DetectionLoader:
     def __init__(self, dataset, transform, buckets, batch_size, max_gt,
                  is_train=True, seed=0, num_threads=4, prefetch=2,
                  start_iter=0, max_iter=None, process_count=1,
-                 process_index=0):
+                 process_index=0, normalize=None):
         """``batch_size`` is the GLOBAL batch; with ``process_count`` > 1
         every process computes the identical global batch/bucket stream
         (deterministic seed + per-(epoch, index) augmentation draws) and
@@ -160,6 +172,8 @@ class DetectionLoader:
         )
         self.process_count = process_count
         self.process_index = process_index
+        # fused normalize-into-batch-buffer (see make_batch)
+        self.normalize = normalize
 
         # static bucket prediction per image (aspect grouping)
         self._bucket_of = [
@@ -294,7 +308,9 @@ class DetectionLoader:
             assert h <= group_bucket[0] and w <= group_bucket[1], (
                 (h, w), group_bucket
             )
-        return make_batch(samples, group_bucket, self.max_gt)
+        return make_batch(
+            samples, group_bucket, self.max_gt, normalize=self.normalize
+        )
 
     def __iter__(self):
         pool = ThreadPoolExecutor(max_workers=self.num_threads)
@@ -321,7 +337,9 @@ class DetectionLoader:
 def make_data_loader(cfg, dataset, is_train=True, start_iter=0, seed=0):
     from .transforms import build_transforms
 
-    transform = build_transforms(cfg, is_train=is_train, seed=seed)
+    transform = build_transforms(
+        cfg, is_train=is_train, seed=seed, defer_normalize=True
+    )
     buckets = (
         cfg.TPU.TRAIN_BUCKETS if is_train else cfg.TPU.TEST_BUCKETS
     )
@@ -343,4 +361,5 @@ def make_data_loader(cfg, dataset, is_train=True, start_iter=0, seed=0):
         max_iter=cfg.SOLVER.MAX_ITER if is_train else None,
         process_count=jax.process_count() if is_train else 1,
         process_index=jax.process_index() if is_train else 0,
+        normalize=(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD),
     )

@@ -70,17 +70,30 @@ def hflip_image_and_boxes(image, boxes):
     return image, boxes
 
 
-def normalize_image(image, pixel_mean, pixel_std):
-    """uint8 BGR -> float32 normalized (Caffe2: mean subtract, std 1)."""
-    img = image.astype(np.float32)
+def normalize_image(image, pixel_mean, pixel_std, out=None):
+    """uint8 BGR -> float32 normalized (Caffe2: mean subtract, std 1).
+
+    ``out``: optional preallocated float32 destination (e.g. a view into
+    the padded batch buffer) — the subtract writes straight into it,
+    skipping two full-image temporaries. Bit-identical to the
+    out-of-place path: same (x - mean) then /std op order in f32.
+    """
     mean = np.asarray(pixel_mean, dtype=np.float32)
     std = np.asarray(pixel_std, dtype=np.float32)
-    return (img - mean) / std
+    img = np.subtract(image, mean, out=out, dtype=np.float32)
+    if np.any(std != 1.0):
+        np.divide(img, std, out=img)
+    return img
 
 
 class TrainTransform:
     def __init__(self, min_sizes, max_size, pixel_mean, pixel_std,
-                 flip_prob=0.5, seed=None):
+                 flip_prob=0.5, seed=None, defer_normalize=False):
+        """``defer_normalize``: return the resized/flipped uint8 image
+        and let the caller normalize (the loader fuses normalization
+        into batch assembly, writing (x - mean)/std straight into the
+        padded batch buffer — one pass instead of three full-image
+        temporaries; bit-identical values)."""
         self.min_sizes = (
             list(min_sizes) if isinstance(min_sizes, (list, tuple))
             else [min_sizes]
@@ -89,6 +102,7 @@ class TrainTransform:
         self.pixel_mean = pixel_mean
         self.pixel_std = pixel_std
         self.flip_prob = flip_prob
+        self.defer_normalize = defer_normalize
         self.rng = random.Random(seed)
         self._lock = __import__("threading").Lock()
 
@@ -126,7 +140,8 @@ class TrainTransform:
                 from ..structures.keypoints import flip_keypoints
 
                 keypoints = flip_keypoints(keypoints, image.shape[1])
-        image = normalize_image(image, self.pixel_mean, self.pixel_std)
+        if not self.defer_normalize:
+            image = normalize_image(image, self.pixel_mean, self.pixel_std)
         out = (image, boxes)
         if masks is not None:
             out = out + (masks,)
@@ -136,11 +151,13 @@ class TrainTransform:
 
 
 class EvalTransform:
-    def __init__(self, min_size, max_size, pixel_mean, pixel_std):
+    def __init__(self, min_size, max_size, pixel_mean, pixel_std,
+                 defer_normalize=False):
         self.min_size = min_size
         self.max_size = max_size
         self.pixel_mean = pixel_mean
         self.pixel_std = pixel_std
+        self.defer_normalize = defer_normalize
 
     def __call__(self, image, boxes=None, masks=None, keypoints=None,
                  draws=None):
@@ -153,7 +170,8 @@ class EvalTransform:
 
             nh, nw = image.shape[:2]
             keypoints = resize_keypoints(keypoints, nw / ow, nh / oh)
-        image = normalize_image(image, self.pixel_mean, self.pixel_std)
+        if not self.defer_normalize:
+            image = normalize_image(image, self.pixel_mean, self.pixel_std)
         out = (image, boxes)
         if masks is not None:
             out = out + (masks,)
@@ -162,7 +180,8 @@ class EvalTransform:
         return out
 
 
-def build_transforms(cfg, is_train=True, seed=None):
+def build_transforms(cfg, is_train=True, seed=None,
+                     defer_normalize=False):
     """Mirror of reference data/transforms/build.py:5-36 incl. the
     MIN_SIZE_RANGE_TRAIN expansion."""
     if is_train:
@@ -174,8 +193,10 @@ def build_transforms(cfg, is_train=True, seed=None):
         return TrainTransform(
             min_size, cfg.INPUT.MAX_SIZE_TRAIN, cfg.INPUT.PIXEL_MEAN,
             cfg.INPUT.PIXEL_STD, flip_prob=0.5, seed=seed,
+            defer_normalize=defer_normalize,
         )
     return EvalTransform(
         cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST,
         cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+        defer_normalize=defer_normalize,
     )
