@@ -110,16 +110,39 @@ def all_gather_pickled(obj):
 def initialize_multihost(logger=None):
     """Multi-host bootstrap: call jax.distributed.initialize when a
     coordinator is configured via env (JAX_COORDINATOR_ADDRESS /
-    standard TPU pod metadata). Safe no-op on a single host."""
+    standard TPU pod metadata). Safe no-op on a single host.
+
+    This is the reference's process-group bootstrap
+    (torch.distributed.init_process_group("nccl", init_method="env://"),
+    tools/train_net.py:150-155) rebuilt on jax's coordination service:
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID play
+    the role of MASTER_ADDR / WORLD_SIZE / RANK. On TPU pods the
+    runtime detects the topology itself and the explicit env vars are
+    unnecessary. Executed for real (2 processes x 4 CPU devices) by
+    tests/test_distributed_2proc.py.
+    """
     import os
 
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr:
-        jax.distributed.initialize()
-        if logger:
-            logger.info(
-                f"jax.distributed initialized: process "
-                f"{jax.process_index()}/{jax.process_count()}"
-            )
+    if not addr:
+        # single host, or a TPU pod where the runtime bootstraps the
+        # coordination service itself. NOTE: do not probe
+        # jax.process_count() before this check — it initializes the
+        # XLA backend, after which jax.distributed.initialize refuses
+        # to run.
+        return
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized (e.g. called twice)
+    kwargs = {"coordinator_address": addr}
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if nproc is not None:
+        kwargs["num_processes"] = int(nproc)
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    if logger:
+        logger.info(
+            f"jax.distributed initialized: process "
+            f"{jax.process_index()}/{jax.process_count()}"
+        )
