@@ -131,15 +131,32 @@ def initialize_multihost(logger=None):
         # XLA backend, after which jax.distributed.initialize refuses
         # to run.
         return
-    from jax._src import distributed as _dist
+    # already initialized (e.g. called twice)? Prefer the public API;
+    # fall back to probing the private client attr on older jax.
+    try:
+        if jax.distributed.is_initialized():
+            return
+    except AttributeError:
+        try:
+            from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # already initialized (e.g. called twice)
+            if getattr(_dist.global_state, "client", None) is not None:
+                return
+        except Exception:
+            pass
     kwargs = {"coordinator_address": addr}
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     if nproc is not None:
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if pid is None:
+            raise RuntimeError(
+                "JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is not: "
+                "multi-process launches must set both (they play the "
+                "role of torch.distributed's WORLD_SIZE / RANK, with "
+                "JAX_COORDINATOR_ADDRESS as MASTER_ADDR)."
+            )
         kwargs["num_processes"] = int(nproc)
-        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        kwargs["process_id"] = int(pid)
     jax.distributed.initialize(**kwargs)
     if logger:
         logger.info(

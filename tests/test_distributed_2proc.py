@@ -19,6 +19,7 @@ import pickle
 import socket
 import subprocess
 import sys
+import time
 
 import numpy as np
 import jax
@@ -70,15 +71,32 @@ def test_two_process_train_step_and_eval_match_single_process(tmp_path):
     out_path = str(tmp_path / "dist_out.pkl")
     port = _free_port()
     procs = [_spawn(pid, port, out_path) for pid in (0, 1)]
-    logs = []
-    try:
-        for p in procs:
-            stdout, _ = p.communicate(timeout=1200)
-            logs.append(stdout)
-    except subprocess.TimeoutExpired:
-        for p in procs:
+    # Poll both workers against a shared deadline: if one crashes while
+    # the other blocks in a collective, kill the survivor immediately
+    # instead of waiting out the full timeout, and always drain stdout
+    # so the failure message carries both logs.
+    deadline = time.time() + 1200
+    failure = None
+    while any(p.poll() is None for p in procs):
+        if any(p.poll() not in (None, 0) for p in procs):
+            failure = "a worker exited non-zero"
+            break
+        if time.time() > deadline:
+            failure = "distributed workers timed out"
+            break
+        time.sleep(0.5)
+    for p in procs:
+        if p.poll() is None:
             p.kill()
-        pytest.fail("distributed workers timed out\n" + "\n".join(logs))
+    logs = [p.communicate()[0] or "" for p in procs]
+    if failure is not None:
+        pytest.fail(
+            failure
+            + "".join(
+                f"\n--- worker {i} (rc={p.returncode}) ---\n{log[-4000:]}"
+                for i, (p, log) in enumerate(zip(procs, logs))
+            )
+        )
     for p, log in zip(procs, logs):
         assert p.returncode == 0, (
             f"worker exited {p.returncode}:\n{log[-4000:]}"

@@ -114,7 +114,10 @@ def main():
         f"({dt / n_img:.3f} s/img across {len(augs)} augs; "
         f"{img_s * len(augs):.1f} aug-forwards/s)"
     )
-    assert all(len(r[0]) > 0 or True for r in results)
+    assert all(len(r[0]) > 0 for r in results), (
+        "TTA merge returned an empty detection set for at least one "
+        "image — random-noise inputs should still yield low-score boxes"
+    )
     print(json.dumps({
         "metric": "tta_r50_3scale_hflip_throughput",
         "value": round(img_s, 2),
