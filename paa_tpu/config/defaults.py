@@ -360,7 +360,13 @@ _C.TPU.NMS_IMPL = "auto"
 # while offsets stay within the window margin); 'auto' = onehot with a
 # runtime lax.cond fallback to gather whenever any active sample
 # escapes its window, so it is exact for arbitrary offsets like the
-# reference CUDA kernel (csrc/cuda/deform_conv_kernel_cuda.cu)
+# reference CUDA kernel (csrc/cuda/deform_conv_kernel_cuda.cu);
+# 'optimistic' (inference-only) = cond-free onehot program that reports
+# per-image escape flags — the inference engine re-runs escaped batches
+# through a lazily-compiled gather-pinned model, keeping end-to-end
+# exactness at pinned-onehot speed and roughly half of 'auto's cold
+# compile (no gather branch compiled per DCN layer). Training and
+# custom eval loops that ignore the flag trade that exactness away.
 _C.TPU.DCN_MODE = "auto"
 # offset headroom (pixels) of the onehot tile windows: 'auto' stays on
 # the fast one-hot path while every active sample's bilinear corners

@@ -48,8 +48,37 @@ def _eval_mesh(model):
     return None
 
 
+def _gather_fallback_eval_fn(model, variables, logger=None):
+    """Gather-pinned eval fn for TPU.DCN_MODE='optimistic' escapes.
+
+    Optimistic programs run the pure onehot DCN lowering and only REPORT
+    per-image escape flags; exactness for out-of-window offsets lives
+    here: a second model pinned to the (always-exact) gather lowering,
+    compiled lazily on the first escaped batch and used to re-run it.
+    """
+    from ..modeling import build_detection_model
+    from ..ops.dcn import set_default_dcn_mode
+
+    cfg = model.cfg.clone()
+    cfg.defrost()
+    cfg.TPU.DCN_MODE = "gather"
+    cfg.freeze()
+    gather_model = build_detection_model(cfg)
+    # build_detection_model set the process-wide default mode as a side
+    # effect; restore the primary model's configuration
+    set_default_dcn_mode(
+        model.cfg.TPU.DCN_MODE, model.cfg.TPU.DCN_WINDOW_MARGIN
+    )
+    if logger:
+        logger.info(
+            "DCN optimistic escape: compiling gather-pinned fallback"
+        )
+    return gather_model.make_eval_fn(variables, mesh=_eval_mesh(model))
+
+
 def compute_on_dataset(model, variables, loader, pp=None, logger=None):
     eval_fn = make_eval_fn(model, variables, pp, mesh=_eval_mesh(model))
+    fallback_fn = None
     predictions = {}
     model_time = 0.0
     n_images = 0
@@ -66,6 +95,20 @@ def compute_on_dataset(model, variables, loader, pp=None, logger=None):
             jnp.asarray(batch["image_sizes"]),
         )
         det = jax.tree_util.tree_map(np.asarray, det)
+        if det.pop("dcn_escaped", np.False_).any():
+            # optimistic DCN: some image's offsets escaped the onehot
+            # window — re-run the batch through the exact gather model
+            if fallback_fn is None:
+                fallback_fn = _gather_fallback_eval_fn(
+                    model, variables, logger
+                )
+            det = jax.tree_util.tree_map(
+                np.asarray,
+                fallback_fn(
+                    jnp.asarray(batch["images"]),
+                    jnp.asarray(batch["image_sizes"]),
+                ),
+            )
         model_time += time.time() - t0
 
         for i, img_id in enumerate(batch["image_ids"]):

@@ -180,16 +180,43 @@ class DetectionModel:
     def make_eval_fn(self, variables, mesh=None):
         """eval_fn(images, image_sizes) -> detection dict; retraces per
         input shape (anchors are static per shape). With a multi-device
-        ``mesh`` the batch shards over the data axis (shard_map)."""
+        ``mesh`` the batch shards over the data axis (shard_map).
+
+        With TPU.DCN_MODE='optimistic' the dict gains a per-image
+        ``dcn_escaped`` bool: True where a DCN sample escaped its onehot
+        window, so the caller must re-run that image through a
+        gather-pinned model for CUDA-exact results (the inference engine
+        does this automatically)."""
         from ..utils.comm import shard_eval_fn
 
+        optimistic = self.cfg.TPU.DCN_MODE == "optimistic"
+
         def body(variables, images, image_sizes):
-            outputs = self.module.apply(variables, images)
+            if optimistic:
+                outputs, inter = self.module.apply(
+                    variables, images, mutable=["intermediates"]
+                )
+                flags = [
+                    f
+                    for path, f in jax.tree_util.tree_leaves_with_path(
+                        inter["intermediates"]
+                    )
+                    if "dcn_escaped" in jax.tree_util.keystr(path)
+                ]
+            else:
+                outputs = self.module.apply(variables, images)
             hw = images.shape[1:3]
             anchors, counts = self.anchors_for(hw)
-            return self.postprocess(
+            det = self.postprocess(
                 outputs, image_sizes, jnp.asarray(anchors), counts
             )
+            if optimistic:
+                det["dcn_escaped"] = (
+                    jnp.any(jnp.stack(flags), axis=0)
+                    if flags
+                    else jnp.zeros((images.shape[0],), bool)
+                )
+            return det
 
         return shard_eval_fn(body, variables, mesh)
 

@@ -30,6 +30,17 @@ the backward-input / backward-offset / backward-weight passes for free
 in both lowerings (the CUDA kernels' hand-written backprop); the onehot
 backward is itself matmuls (no scatter).
 
+``optimistic`` (inference) escapes ``auto``'s main cost — compiling BOTH
+cond branches for every DCN layer (the dcnv2-R101 cold compile roughly
+halves without the gather branches): the compiled program runs the pure
+onehot lowering and merely REPORTS per-image escape flags
+(``DeformConv`` sows them into the ``intermediates`` collection; the
+eval path surfaces them as ``dcn_escaped``). Exactness moves to the
+host: the inference engine lazily compiles a gather-pinned fallback and
+re-runs any batch whose flag fires (engine/inference.py), so end-to-end
+results still match the reference CUDA kernels for arbitrary offsets
+while the hot program stays cond-free at pinned-onehot speed.
+
 Offset channel layout matches torch deform_conv2d: per deformable group,
 per kernel position (row-major), a (dy, dx) pair; the modulation mask
 follows after all offsets in the single offset-conv output (DFConv2d packs
@@ -56,13 +67,52 @@ _DEFAULT_MARGIN = 2
 
 def set_default_dcn_mode(mode: str, window_margin: Optional[int] = None):
     global _DEFAULT_MODE, _DEFAULT_MARGIN
-    if mode not in ("auto", "gather", "onehot"):
+    if mode not in ("auto", "gather", "onehot", "optimistic"):
         raise ValueError(f"unknown DCN mode {mode!r}")
     _DEFAULT_MODE = mode
     if window_margin is not None:
         if window_margin < 0:
             raise ValueError("window_margin must be >= 0")
         _DEFAULT_MARGIN = window_margin
+
+
+def resolve_dcn_mode(mode: Optional[str]) -> str:
+    """Effective sampling mode for a per-call/module override of None."""
+    return _DEFAULT_MODE if mode is None else mode
+
+
+def dcn_escape_flags(x, offsets, mask, kernel_size=3, strides=1,
+                     padding=1, dilation=1, deformable_groups=1,
+                     window_margin: Optional[int] = None,
+                     tile: Tuple[int, int] = (8, 16)):
+    """Per-image escape predicate of the onehot window plan: (B,) bool,
+    True where ANY nonzero-weight corner of that image falls outside its
+    tile window (so only the gather lowering is exact for that image).
+    This is ``auto``'s cond predicate, reduced per image instead of
+    globally — the reporting half of ``optimistic`` mode."""
+    window_margin = (
+        _DEFAULT_MARGIN if window_margin is None else window_margin
+    )
+    kh = kw = kernel_size
+    s, p, d, dg = strides, padding, dilation, deformable_groups
+    b, h, w, _ = x.shape
+    ho = (h + 2 * p - d * (kh - 1) - 1) // s + 1
+    wo = (w + 2 * p - d * (kw - 1) - 1) // s + 1
+    plan = _onehot_plan(h, w, ho, wo, kh, kw, s, d, p, tile, window_margin)
+    y0p, x0p, cw = _geometry(x, offsets, mask, kh, kw, s, p, d, dg)
+    th, tw, ti, tj, hw_win, ww_win, wsy, wsx = plan
+    y0t = _tile_samples(y0p, th, tw, ti, tj)
+    x0t = _tile_samples(x0p, th, tw, ti, tj)
+    cwt = _tile_samples(cw, th, tw, ti, tj)
+    wsy_a = jnp.asarray(wsy, jnp.int32)[None, :, None, None, None, None, None]
+    wsx_a = jnp.asarray(wsx, jnp.int32)[None, None, :, None, None, None, None]
+    ry0 = y0t - wsy_a
+    rx0 = x0t - wsx_a
+    ry = jnp.stack([ry0, ry0, ry0 + 1, ry0 + 1], axis=-1)
+    rx = jnp.stack([rx0, rx0 + 1, rx0, rx0 + 1], axis=-1)
+    oob = (ry < 0) | (ry >= hw_win) | (rx < 0) | (rx >= ww_win)
+    esc = oob & (cwt != 0)
+    return jnp.any(esc.reshape(b, -1), axis=1)
 
 
 def _geometry(x, offsets, mask, kh, kw, s, p, d, dg):
@@ -409,6 +459,10 @@ def deform_conv2d(x, offsets, mask, weights, strides=1, padding=1,
     Returns (B, Ho, Wo, O).
     """
     mode = _DEFAULT_MODE if mode is None else mode
+    if mode == "optimistic":
+        # pure onehot program; the escape flags are sown separately by
+        # DeformConv and acted on by the host (see module docstring)
+        mode = "onehot"
     window_margin = (
         _DEFAULT_MARGIN if window_margin is None else window_margin
     )
@@ -538,6 +592,18 @@ class DeformConv(nn.Module):
             if self.modulated
             else None
         )
+        if resolve_dcn_mode(self.mode) == "optimistic":
+            self.sow(
+                "intermediates",
+                "dcn_escaped",
+                dcn_escape_flags(
+                    x, offsets, mask,
+                    kernel_size=self.kernel_size, strides=self.strides,
+                    padding=self.padding, dilation=self.dilation,
+                    deformable_groups=dg,
+                    window_margin=self.window_margin,
+                ),
+            )
         c = x.shape[-1]
         weights = self.param(
             "kernel",

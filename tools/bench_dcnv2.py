@@ -33,7 +33,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--hw", default="800,1344")
     ap.add_argument(
-        "--dcn-mode", default=None, choices=["auto", "gather", "onehot"],
+        "--dcn-mode", default=None,
+        choices=["auto", "gather", "onehot", "optimistic"],
         help="override cfg.TPU.DCN_MODE (sampling lowering A/B)",
     )
     ap.add_argument(

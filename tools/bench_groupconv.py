@@ -14,6 +14,9 @@ multiplies are by structural zeros):
   superN      feature_group_count = G*c/N: merge m = N/c groups into one
               N-wide supergroup whose kernel is block-diagonal
               (m x more FLOPs; N=128 matches the MXU lane tile)
+  g2b         group-to-batch: transpose x to (G*B, H, W, c) and run with
+              batch_group_count=G — TRUE grouped FLOPs, zero padding,
+              but each group's implicit matmul keeps N = out_g lanes
 
 Run:  python tools/bench_groupconv.py [--batch 8] [--stage all]
 Prints per-variant ms and img/s-equivalents.
@@ -128,13 +131,34 @@ def main():
             jax.jit(lambda x, k: conv_fgc(x, k, 1)), x, wdense
         )
 
+        # group-to-batch: batch_group_count=G pays the TRUE grouped
+        # FLOPs (no zero padding) — input batch slice g produces output
+        # feature slice g — at the cost of a (B,H,W,G,c)->(G*B,H,W,c)
+        # transpose each side and the same tiny per-group N as `grouped`
+        def conv_g2b(x, k):
+            xg = x.reshape(b, h, w_, groups, cg)
+            xg = jnp.moveaxis(xg, 3, 0).reshape(groups * b, h, w_, cg)
+            out = jax.lax.conv_general_dilated(
+                xg, k, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                batch_group_count=groups,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)  # (B, H, W, O) group-major features
+            return out
+
+        results["g2b (batch_group)"] = timeit(jax.jit(conv_g2b), x, wk)
+
         # correctness spot check (vs grouped, f32)
         ref = conv_fgc(x, wk, groups)
         wbd, gp = expand_supergroup(wk, groups, 128)
         got = conv_fgc(x, wbd, gp)
         err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
                                     - got.astype(jnp.float32))))
-        print(f"\n{name}  B={b}  (super128 max|err| vs grouped: {err:.2e})")
+        err_g2b = float(jnp.max(jnp.abs(
+            ref.astype(jnp.float32) - conv_g2b(x, wk).astype(jnp.float32)
+        )))
+        print(f"\n{name}  B={b}  (super128 max|err| vs grouped: {err:.2e}, "
+              f"g2b: {err_g2b:.2e})")
         base = results["grouped"]
         for k, v in results.items():
             print(f"  {k:20s} {v:8.2f} ms   ({base / v:5.2f}x vs grouped)")
