@@ -103,8 +103,10 @@ def main():
                 np.tile(np.array([[5, 17]], np.int32), (args.batch, 1))
             ),
         }
+        t0 = time.time()
         state, metrics = step(state, batch)
         float(metrics["loss"])
+        first_call_s = time.time() - t0
         t0 = time.time()
         for _ in range(args.iters):
             state, metrics = step(state, batch)
@@ -120,6 +122,7 @@ def main():
                     "value": round(args.batch * args.iters / dt, 2),
                     "unit": "images/sec/chip",
                     "batch": args.batch,
+                    "first_call_s": round(first_call_s, 1),
                 }
             )
         )
@@ -142,7 +145,9 @@ def main():
     )
 
     zero = jnp.float32(0.0)
+    t0 = time.time()
     float(infer(variables, images, sizes, zero))
+    first_call_s = time.time() - t0
     float(infer(variables, images, sizes, zero))
 
     t0 = time.time()
@@ -163,6 +168,7 @@ def main():
                 "value": round(img_per_s, 2),
                 "unit": "images/sec/chip",
                 "batch": batch,
+                "first_call_s": round(first_call_s, 1),
             }
         )
     )

@@ -112,6 +112,13 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(800, 1344))
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument(
+        "--config-file", default="configs/paa/paa_R_50_FPN_1x.yaml"
+    )
+    ap.add_argument(
+        "opts", nargs=argparse.REMAINDER,
+        help="dotted-key config overrides (e.g. TPU.DCN_MODE onehot)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -124,9 +131,13 @@ def main():
     from paa_tpu.utils.comm import get_data_mesh
 
     cfg = get_cfg()
-    cfg.merge_from_file("configs/paa/paa_R_50_FPN_1x.yaml")
+    cfg.merge_from_file(args.config_file)
+    cfg.MODEL.WEIGHT = ""
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     cfg.freeze()
+    print(f"config: {args.config_file}  overrides: {args.opts}")
 
     hw = tuple(args.hw)
     model = build_detection_model(cfg)
