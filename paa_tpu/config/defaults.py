@@ -354,6 +354,13 @@ _C.TPU.SEED = 0
 # NMS implementation: 'auto' picks Pallas on TPU / scan elsewhere at
 # trace time; pin 'pallas' or 'scan' for AOT cross-platform tracing
 _C.TPU.NMS_IMPL = "auto"
+# ship batches to the device as RAW padded uint8 and normalize + re-zero
+# padding inside the jitted program (ops/image_norm.py): 4x less
+# host->device traffic than host-normalized float32, bit-identical
+# results (the uint8->f32 cast is exact and the op order matches
+# data/transforms.py normalize_image). False restores the host-side
+# fused normalize-into-batch path.
+_C.TPU.DEVICE_NORMALIZE = True
 # Deformable-conv sampling lowering (ops/dcn.py): 'gather' = bilinear
 # quad-gather im2col (exact, bound by XLA's TPU gather emitter);
 # 'onehot' = windowed one-hot matmul on the MXU (no gathers; exact

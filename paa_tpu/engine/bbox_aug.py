@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.transforms import get_resize_size, normalize_image
+from ..data.transforms import get_resize_size
 from ..modeling.paa_inference import _postprocess_single
 
 
@@ -182,6 +182,11 @@ class TTAEngine:
             anchors = jnp.asarray(anchors)
             pp = self.pp
 
+            from ..ops.image_norm import maybe_device_normalize
+
+            mean = self.cfg.INPUT.PIXEL_MEAN
+            std = self.cfg.INPUT.PIXEL_STD
+
             if collect_candidates:
                 from dataclasses import replace
 
@@ -190,6 +195,9 @@ class TTAEngine:
 
                 @jax.jit
                 def fn(images, image_sizes):
+                    images = maybe_device_normalize(
+                        images, image_sizes, mean, std
+                    )
                     out = self.model.module.apply(self.variables, images)
                     iou_pred = out.get("iou_pred")
 
@@ -227,6 +235,9 @@ class TTAEngine:
 
                 @jax.jit
                 def fn(images, image_sizes):
+                    images = maybe_device_normalize(
+                        images, image_sizes, mean, std
+                    )
                     out = self.model.module.apply(self.variables, images)
                     return self.model.postprocess(
                         out, image_sizes, anchors, counts
@@ -247,7 +258,9 @@ class TTAEngine:
         for scale, max_size, hflip, srange in augs:
             bucket_h = _ceil32(min(scale, max_size))
             bucket_w = _ceil32(max_size)
-            # resize + normalize + pad
+            # resize + flip + pad; batches ship as RAW uint8 — the
+            # jitted fn normalizes on device (4x less H2D traffic;
+            # measured 20.8 s of a 24 s 6-aug batch was float32 H2D)
             batch = []
             sizes = []
             for img in raw_images:
@@ -257,16 +270,13 @@ class TTAEngine:
                                interpolation=cv2.INTER_LINEAR)
                 if hflip:
                     r = np.ascontiguousarray(r[:, ::-1])
-                r = normalize_image(
-                    r, cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD
-                )
                 bh = max(bucket_h, _ceil32(oh))
                 bw = max(bucket_w, _ceil32(ow))
                 batch.append((r, bh, bw))
                 sizes.append((oh, ow))
             bh = max(b for _, b, _ in batch)
             bw = max(b for _, _, b in batch)
-            images = np.zeros((len(batch), bh, bw, 3), np.float32)
+            images = np.zeros((len(batch), bh, bw, 3), np.uint8)
             for i, (r, _, _) in enumerate(batch):
                 images[i, : r.shape[0], : r.shape[1]] = r
 

@@ -51,15 +51,29 @@ class TrainState(struct.PyTreeNode):
 
 def make_train_step(apply_fn, anchors, level_counts, loss_cfg: PAALossConfig,
                     param_label_tree=None, num_shards=1, donate=True,
-                    loss_call=paa_loss):
+                    loss_call=paa_loss, normalize=None):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: dict with 'images' (B, H, W, 3), 'gt_boxes' (B, G, 4),
     'gt_labels' (B, G). Callers jit this once per size bucket with
     appropriate shardings (state replicated, batch sharded on 'data').
+
+    normalize: (pixel_mean, pixel_std) enabling RAW uint8 image batches
+    (4x less host->device traffic): the step then also needs
+    batch['image_sizes'] and normalizes + re-zeroes padding on device
+    (ops/image_norm.py), bit-identical to host-normalized float32 input.
     """
     anchors = jnp.asarray(anchors, jnp.float32)
     counts = tuple(level_counts)
+
+    def images_of(batch):
+        if normalize is not None:
+            from ..ops.image_norm import maybe_device_normalize
+
+            return maybe_device_normalize(
+                batch["images"], batch.get("image_sizes"), *normalize
+            )
+        return batch["images"]
 
     def loss_fn(params, batch_stats, batch):
         if param_label_tree is not None:
@@ -75,12 +89,12 @@ def make_train_step(apply_fn, anchors, level_counts, loss_cfg: PAALossConfig,
             # batch are the cross-replica sync; running stats update
             outputs, mutated = apply_fn(
                 {"params": params, "batch_stats": batch_stats},
-                batch["images"],
+                images_of(batch),
                 mutable=["batch_stats"],
             )
             new_stats = mutated["batch_stats"]
         else:
-            outputs = apply_fn({"params": params}, batch["images"])
+            outputs = apply_fn({"params": params}, images_of(batch))
             new_stats = None
         losses = loss_call(
             outputs,

@@ -107,6 +107,7 @@ def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
                     batch_sharding, batch[k]
                 )
                 for k in model.train_batch_keys
+                if k in batch
             }
         else:
             device_batch = {
@@ -116,6 +117,7 @@ def do_train(cfg, model, state, dataset, mesh, checkpointer=None,
                     else jnp.asarray(batch[k])
                 )
                 for k in model.train_batch_keys
+                if k in batch
             }
         state, metrics = step_fn(state, device_batch)
 

@@ -161,7 +161,9 @@ class DetectionModel:
 
     @property
     def train_batch_keys(self):
-        return ("images", "gt_boxes", "gt_labels")
+        # image_sizes rides along for the uint8 device-normalize path
+        # (ops/image_norm.py); float32 batches ignore it
+        return ("images", "gt_boxes", "gt_labels", "image_sizes")
 
     def make_bucket_train_step(self, hw, param_label_tree=None,
                                num_shards=1):
@@ -175,6 +177,9 @@ class DetectionModel:
             self.module.apply, anchors, counts, loss_cfg,
             param_label_tree=param_label_tree, num_shards=num_shards,
             loss_call=loss_call,
+            normalize=(
+                self.cfg.INPUT.PIXEL_MEAN, self.cfg.INPUT.PIXEL_STD
+            ),
         )
 
     def make_eval_fn(self, variables, mesh=None):
@@ -187,11 +192,16 @@ class DetectionModel:
         window, so the caller must re-run that image through a
         gather-pinned model for CUDA-exact results (the inference engine
         does this automatically)."""
+        from ..ops.image_norm import maybe_device_normalize
         from ..utils.comm import shard_eval_fn
 
         optimistic = self.cfg.TPU.DCN_MODE == "optimistic"
+        mean, std = self.cfg.INPUT.PIXEL_MEAN, self.cfg.INPUT.PIXEL_STD
 
         def body(variables, images, image_sizes):
+            images = maybe_device_normalize(
+                images, image_sizes, mean, std
+            )
             if optimistic:
                 outputs, inter = self.module.apply(
                     variables, images, mutable=["intermediates"]

@@ -133,10 +133,13 @@ class TwoStageModel:
         """
         import optax
 
+        from ..ops.image_norm import maybe_device_normalize
+
         loss_body = faster_rcnn_train_step_fns(self, hw, num_shards)
         base_rng = jax.random.PRNGKey(self.cfg.TPU.SEED)
         mask_on = self.cfg.MODEL.MASK_ON
         keypoint_on = self.cfg.MODEL.KEYPOINT_ON
+        mean, std = self.cfg.INPUT.PIXEL_MEAN, self.cfg.INPUT.PIXEL_STD
 
         def loss_fn(params, batch, rng):
             if param_label_tree is not None:
@@ -149,7 +152,9 @@ class TwoStageModel:
                 )
             losses = loss_body(
                 {"params": params},
-                batch["images"],
+                maybe_device_normalize(
+                    batch["images"], batch.get("image_sizes"), mean, std
+                ),
                 batch["gt_boxes"],
                 batch["gt_labels"],
                 batch["image_sizes"],
@@ -191,9 +196,15 @@ class TwoStageModel:
         """eval_fn(images, image_sizes) -> detection dict; retraces per
         input shape (anchors are static per shape). With a multi-device
         ``mesh`` the batch shards over the data axis (shard_map)."""
+        from ..ops.image_norm import maybe_device_normalize
         from ..utils.comm import shard_eval_fn
 
+        mean, std = self.cfg.INPUT.PIXEL_MEAN, self.cfg.INPUT.PIXEL_STD
+
         def body(variables, images, image_sizes):
+            images = maybe_device_normalize(
+                images, image_sizes, mean, std
+            )
             hw = images.shape[1:3]
             return faster_rcnn_eval_fn(self, hw)(
                 variables, images, image_sizes
@@ -473,16 +484,19 @@ class RPNOnlyModel:
 
     @property
     def train_batch_keys(self):
-        return ("images", "gt_boxes", "gt_labels")
+        return ("images", "gt_boxes", "gt_labels", "image_sizes")
 
     def make_bucket_train_step(self, hw, param_label_tree=None,
                                num_shards=1):
         import optax
 
+        from ..ops.image_norm import maybe_device_normalize
+
         anchors, counts = self.anchors_for(hw)
         anchors_j = jnp.asarray(anchors, jnp.float32)
         rc = RPNConfig.from_cfg(self.cfg, is_train=True)
         base_rng = jax.random.PRNGKey(self.cfg.TPU.SEED)
+        mean, std = self.cfg.INPUT.PIXEL_MEAN, self.cfg.INPUT.PIXEL_STD
 
         def loss_fn(params, batch, rng):
             if param_label_tree is not None:
@@ -495,7 +509,10 @@ class RPNOnlyModel:
                     param_label_tree,
                 )
             rpn_out = self.module.apply(
-                {"params": params}, batch["images"]
+                {"params": params},
+                maybe_device_normalize(
+                    batch["images"], batch.get("image_sizes"), mean, std
+                ),
             )
             losses = rpn_loss(
                 rpn_out, batch["gt_boxes"], batch["gt_labels"],
@@ -531,9 +548,15 @@ class RPNOnlyModel:
 
     def make_eval_fn(self, variables, mesh=None):
         rc = RPNConfig.from_cfg(self.cfg, is_train=False)
+        from ..ops.image_norm import maybe_device_normalize
         from ..utils.comm import shard_eval_fn
 
+        mean, std = self.cfg.INPUT.PIXEL_MEAN, self.cfg.INPUT.PIXEL_STD
+
         def body(variables, images, image_sizes):
+            images = maybe_device_normalize(
+                images, image_sizes, mean, std
+            )
             hw = images.shape[1:3]
             anchors, counts = self.anchors_for(hw)
             rpn_out = self.module.apply(variables, images)
