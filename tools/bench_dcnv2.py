@@ -128,13 +128,25 @@ def main():
         )
         return
 
-    @jax.jit
-    def infer(variables, images, image_sizes, carry):
-        outputs = model.module.apply(variables, images + carry * 0.0)
-        det = paa_postprocess(
-            outputs, image_sizes, jnp.asarray(anchors), counts, pp
-        )
-        return det["scores"].sum()
+    if args.dcn_mode == "optimistic":
+        # the honest optimistic program: model.make_eval_fn keeps the
+        # per-image escape-flag reduction live (the inline harness below
+        # would let XLA DCE the sown intermediates away)
+        eval_fn = model.make_eval_fn(variables)
+
+        @jax.jit
+        def infer(variables, images, image_sizes, carry):
+            det = eval_fn(images + carry * 0.0, image_sizes)
+            return det["scores"].sum() + det["dcn_escaped"].sum()
+    else:
+
+        @jax.jit
+        def infer(variables, images, image_sizes, carry):
+            outputs = model.module.apply(variables, images + carry * 0.0)
+            det = paa_postprocess(
+                outputs, image_sizes, jnp.asarray(anchors), counts, pp
+            )
+            return det["scores"].sum()
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(
