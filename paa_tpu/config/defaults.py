@@ -371,9 +371,13 @@ _C.TPU.DEVICE_NORMALIZE = True
 # 'optimistic' (inference-only) = cond-free onehot program that reports
 # per-image escape flags — the inference engine re-runs escaped batches
 # through a lazily-compiled gather-pinned model, keeping end-to-end
-# exactness at pinned-onehot speed and roughly half of 'auto's cold
-# compile (no gather branch compiled per DCN layer). Training and
-# custom eval loops that ignore the flag trade that exactness away.
+# exactness without any per-layer cond. Measured on v5e (PERF.md "DCN
+# cold compile"): it does NOT beat 'auto' — the per-layer escape-flag
+# reductions defeat XLA's dedup of identical DCN layer bodies, so the
+# cold compile is LONGER (583 s vs auto's 350 s for dcnv2-R101) at the
+# same steady-state speed; kept as a documented negative result. Pin
+# 'onehot' (132 s compile, fastest steady state) when offsets are known
+# to stay in-margin; 'auto' is the exact-for-arbitrary-offsets default.
 _C.TPU.DCN_MODE = "auto"
 # offset headroom (pixels) of the onehot tile windows: 'auto' stays on
 # the fast one-hot path while every active sample's bilinear corners
